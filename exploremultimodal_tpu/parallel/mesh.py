@@ -1,0 +1,81 @@
+"""Device mesh construction + multi-host runtime init.
+
+TPU-native replacement of the reference's NCCL process-group bootstrap
+(utils/utils.py:298-334 `init_distributed_mode`): instead of one process per
+GPU rendezvousing over env://, JAX is single-controller per host and
+parallelism is expressed as sharding over a `Mesh` with named axes:
+
+  data    batch parallelism (grad psum rides ICI)
+  fsdp    parameter/optimizer-state sharding (ZeRO-3 analogue)
+  tensor  tensor parallelism (FFN hidden / attention heads)
+
+All presets (configs/parallel/*.yaml) use the same mesh; they differ only in
+which axes have size > 1 and in the param partition rules.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+TENSOR_AXIS = "tensor"
+MESH_AXES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS)
+
+
+def initialize_runtime(cfg: Any) -> None:
+    """Multi-host init (no-op single process).
+
+    Reference parity: init_distributed_mode reads torchrun/SLURM env; here a
+    coordinator address + process count drive jax.distributed.initialize.
+    """
+    rt = cfg.get("runtime", {})
+    if rt.get("coordinator_address"):
+        jax.distributed.initialize(
+            coordinator_address=rt["coordinator_address"],
+            num_processes=rt.get("num_processes"),
+            process_id=rt.get("process_id"),
+        )
+
+
+def create_mesh(
+    cfg: Any = None,
+    *,
+    devices: list | None = None,
+    data: int = -1,
+    fsdp: int = 1,
+    tensor: int = 1,
+) -> Mesh:
+    """Build the (data, fsdp, tensor) mesh over all devices.
+
+    Axis sizes come from cfg.runtime.mesh when a config is given; an axis size
+    of -1 absorbs all remaining devices. Axis order puts `tensor` innermost so
+    tensor-parallel collectives ride the fastest ICI links.
+    """
+    if cfg is not None:
+        mesh_cfg = cfg.select("runtime.mesh", {}) or {}
+        data = mesh_cfg.get(DATA_AXIS, data)
+        fsdp = mesh_cfg.get(FSDP_AXIS, fsdp)
+        tensor = mesh_cfg.get(TENSOR_AXIS, tensor)
+
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    sizes = {DATA_AXIS: data, FSDP_AXIS: fsdp, TENSOR_AXIS: tensor}
+    fixed = math.prod(s for s in sizes.values() if s != -1)
+    free_axes = [a for a, s in sizes.items() if s == -1]
+    if len(free_axes) > 1:
+        raise ValueError(f"at most one mesh axis may be -1, got {sizes}")
+    if free_axes:
+        if n % fixed != 0:
+            raise ValueError(f"{n} devices not divisible by fixed axes {sizes}")
+        sizes[free_axes[0]] = n // fixed
+    if math.prod(sizes.values()) != n:
+        raise ValueError(f"mesh {sizes} does not cover {n} devices")
+
+    shape = tuple(sizes[a] for a in MESH_AXES)
+    return Mesh(np.asarray(devices).reshape(shape), MESH_AXES)
