@@ -1,0 +1,478 @@
+"""VLMo mixture-of-modality-experts backbone, TPU-native.
+
+Capability parity with the reference backbone (models/vlmo/vlmo.py): a single
+transformer shared by image / text / fused streams where each block has ONE
+shared multi-head self-attention and THREE modality-routed dense FFN experts
+('v' vision, 'l' language, 'vl' fused) selected by a trace-time `route`
+(vlmo.py:141-157,187-197). Routing is a static per-stream choice — no
+token-level dispatch — so each route compiles to a plain dense matmul chain
+that XLA maps straight onto the MXU.
+
+Numerics mirrored for checkpoint/logit parity:
+  - attention with separate q/v bias, k bias fixed at zero (BEiT-style,
+    vlmo.py:56-75), additive −inf key-padding mask, fp32 softmax
+  - LayerScale gamma_1/gamma_2 (+ DropPath) residual scaling (vlmo.py:158-196)
+  - image embed: 16×16 conv patchify + img_cls_token + learned pos_embed +
+    token-type embedding (idx 1, or 2 for NLVR2's second image) + BEiT
+    mask-token substitution at bool_masked_pos (vlmo.py:298-319)
+  - text embed: BERT embeddings (word + position + BERT-internal token type 0,
+    LayerNorm eps 1e-12, dropout) plus the shared token-type embedding idx 0
+    (vlmo.py:321-324)
+  - fused stream: routes v/l separately through blocks[:fusion_layer], concat
+    [txt, img] along sequence, route 'vl' through the rest (vlmo.py:389-414)
+  - BertPooler over token 0 (vlmo.py:290)
+
+Differences by design (TPU-first): NHWC image layout, bf16 compute / fp32
+params policy, attention via ops.multi_head_attention ('xla' or Pallas
+flash kernel), expert presence per block configured statically instead of
+post-hoc module deletion (reference `_freeze_params`, vlmo_module.py:148-167).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from exploremultimodal_tpu.ops import drop_path, multi_head_attention
+from exploremultimodal_tpu.ops.attention import key_padding_bias
+
+ROUTES = ("v", "l", "vl")
+
+Dtype = Any
+
+
+class Mlp(nn.Module):
+    """Transformer FFN expert (timm-Mlp semantics: fc1→gelu→drop→fc2→drop)."""
+
+    hidden_dim: int
+    out_dim: int
+    drop_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Shared MHSA with separate q/v bias and zero k bias (vlmo.py:39-98)."""
+
+    dim: int
+    num_heads: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+    impl: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        bias: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+
+        qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype, name="qkv")(x)
+        q_bias = self.param("q_bias", nn.initializers.zeros, (self.dim,))
+        v_bias = self.param("v_bias", nn.initializers.zeros, (self.dim,))
+        qkv_bias = jnp.concatenate(
+            [q_bias, jnp.zeros_like(q_bias), v_bias]
+        ).astype(qkv.dtype)
+        qkv = qkv + qkv_bias
+
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = (
+            jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)
+        )  # each (B, H, N, Dh)
+
+        out = multi_head_attention(
+            q, k, v,
+            bias=bias,
+            scale=head_dim**-0.5,
+            dropout_rate=self.attn_drop,
+            dropout_rng=(
+                self.make_rng("dropout")
+                if (self.attn_drop > 0 and not deterministic)
+                else None
+            ),
+            deterministic=deterministic,
+            impl=self.impl,
+        )
+        out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out
+
+
+class Block(nn.Module):
+    """Pre-LN block: shared attention + routed FFN experts + LayerScale.
+
+    x += DropPath(γ₁ · Attn(LN₁ x)); x += DropPath(γ₂ · MLP[route](LN₂ x))
+    (vlmo.py:187-197). `experts` lists which FFN experts exist in this block —
+    the static equivalent of the reference's `del b.mlp.vl` surgery.
+    """
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    init_values: float | None = None
+    norm_eps: float = 1e-12
+    experts: Sequence[str] = ROUTES
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    def setup(self) -> None:
+        self.norm1 = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32)
+        self.attn = Attention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            impl=self.attn_impl,
+        )
+        self.norm2 = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32)
+        hidden = int(self.dim * self.mlp_ratio)
+        for route in self.experts:
+            setattr(
+                self,
+                f"mlp_{route}",
+                Mlp(
+                    hidden_dim=hidden,
+                    out_dim=self.dim,
+                    drop_rate=self.drop,
+                    dtype=self.dtype,
+                ),
+            )
+        if self.init_values is not None and self.init_values > 0:
+            init = nn.initializers.constant(self.init_values)
+            self.gamma_1 = self.param("gamma_1", init, (self.dim,))
+            self.gamma_2 = self.param("gamma_2", init, (self.dim,))
+        else:
+            self.gamma_1 = self.gamma_2 = None
+
+    def __call__(
+        self,
+        x: jax.Array,
+        bias: jax.Array | None,
+        route: str,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        if route not in self.experts:
+            raise ValueError(f"route {route!r} not among experts {self.experts}")
+
+        def residual(branch: jax.Array, gamma) -> jax.Array:
+            if gamma is not None:
+                branch = branch * gamma.astype(branch.dtype)
+            rng = (
+                self.make_rng("droppath")
+                if (self.drop_path_rate > 0 and not deterministic)
+                else None
+            )
+            return drop_path(branch, self.drop_path_rate, rng, deterministic)
+
+        attn_out = self.attn(
+            self.norm1(x).astype(self.dtype), bias=bias, deterministic=deterministic
+        )
+        x = x + residual(attn_out, self.gamma_1)
+        mlp = getattr(self, f"mlp_{route}")
+        mlp_out = mlp(self.norm2(x).astype(self.dtype), deterministic=deterministic)
+        x = x + residual(mlp_out, self.gamma_2)
+        return x
+
+
+class BertTextEmbeddings(nn.Module):
+    """HF BertEmbeddings semantics (word + position + token-type 0 → LN → drop)."""
+
+    vocab_size: int
+    dim: int
+    max_len: int
+    drop_rate: float = 0.0
+    norm_eps: float = 1e-12
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids: jax.Array, deterministic: bool = True) -> jax.Array:
+        word = nn.Embed(self.vocab_size, self.dim, name="word_embeddings")
+        pos = nn.Embed(self.max_len, self.dim, name="position_embeddings")
+        tte = nn.Embed(2, self.dim, name="token_type_embeddings")
+        positions = jnp.arange(ids.shape[1])[None, :]
+        x = word(ids) + pos(positions) + tte(jnp.zeros_like(ids))
+        x = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32, name="LayerNorm")(x)
+        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        return x.astype(self.dtype)
+
+    @property
+    def word_embedding_table(self):
+        return self.variables["params"]["word_embeddings"]["embedding"]
+
+
+class Pooler(nn.Module):
+    """BertPooler: dense+tanh over token 0 (vlmo.py:290, used at vlmo_module.py:379)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return jnp.tanh(nn.Dense(self.dim, dtype=self.dtype, name="dense")(x[:, 0]))
+
+
+def expert_layout(
+    depth: int, fusion_layer: int, phase: str | None
+) -> tuple[tuple[str, ...], ...]:
+    """Which FFN experts exist per block for a train phase.
+
+    Static equivalent of the reference's parameter surgery
+    (vlmo_module.py:148-167): pretrain_txt drops 'vl' everywhere;
+    pretrain_mum / finetune phases drop 'vl' below the fusion layer.
+    """
+    if phase in ("pretrain_txt",):
+        return tuple(("v", "l") for _ in range(depth))
+    if phase in ("pretrain_mum", "finetune_vqa"):
+        return tuple(
+            ("v", "l") if i < fusion_layer else ROUTES for i in range(depth)
+        )
+    return tuple(ROUTES for _ in range(depth))
+
+
+class VLMO(nn.Module):
+    """The shared-attention, modality-routed-FFN transformer."""
+
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    norm_eps: float = 1e-12
+    init_values: float | None = None
+    vocab_size: int = 30522
+    max_text_len: int = 40
+    fusion_layer: int = 6
+    num_token_types: int = 2  # 3 for NLVR2 (image_token_type_idx 2)
+    experts_per_block: tuple[tuple[str, ...], ...] | None = None
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    def setup(self) -> None:
+        self.patch_embed = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+        )
+        trunc02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+        self.pos_embed = self.param(
+            "pos_embed", trunc02, (1, self.num_patches + 1, self.embed_dim)
+        )
+        self.img_cls_token = self.param(
+            "img_cls_token", trunc02, (1, 1, self.embed_dim)
+        )
+        self.img_mask_token = self.param(
+            "img_mask_token", nn.initializers.zeros, (1, 1, self.embed_dim)
+        )
+        self.token_type_embeddings = nn.Embed(
+            self.num_token_types, self.embed_dim
+        )
+        self.txt_embeddings = BertTextEmbeddings(
+            vocab_size=self.vocab_size,
+            dim=self.embed_dim,
+            max_len=self.max_text_len,
+            drop_rate=self.drop_rate,
+            norm_eps=self.norm_eps,
+            dtype=self.dtype,
+        )
+
+        layout = self.experts_per_block or tuple(ROUTES for _ in range(self.depth))
+        import numpy as np
+
+        dpr = [float(x) for x in np.linspace(0.0, self.drop_path_rate, self.depth)]
+        self.blocks = [
+            Block(
+                dim=self.embed_dim,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_path_rate=dpr[i],
+                init_values=self.init_values,
+                norm_eps=self.norm_eps,
+                experts=layout[i],
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+            )
+            for i in range(self.depth)
+        ]
+        self.norm = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32)
+        self.pooler = Pooler(self.embed_dim, dtype=self.dtype)
+        self.pos_drop = nn.Dropout(self.drop_rate)
+
+    # ------------------------------------------------------------------ embed
+
+    def embed_img(
+        self,
+        img: jax.Array,  # (B, H, W, C) NHWC
+        bool_masked_pos: jax.Array | None = None,  # (B, num_patches)
+        img_token_type_idx: int = 1,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        x = self.patch_embed(img.astype(self.dtype))
+        B = x.shape[0]
+        x = x.reshape(B, self.num_patches, self.embed_dim)
+
+        if bool_masked_pos is not None:
+            w = bool_masked_pos[..., None].astype(x.dtype)
+            x = x * (1.0 - w) + self.img_mask_token.astype(x.dtype) * w
+
+        cls = jnp.broadcast_to(
+            self.img_cls_token.astype(x.dtype), (B, 1, self.embed_dim)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + self.pos_embed.astype(x.dtype)
+        x = self.pos_drop(x, deterministic=deterministic)
+        tt = self.token_type_embeddings(
+            jnp.full((B, x.shape[1]), img_token_type_idx, dtype=jnp.int32)
+        )
+        return x + tt.astype(x.dtype)
+
+    def embed_txt(self, ids: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = self.txt_embeddings(ids, deterministic=deterministic)
+        tt = self.token_type_embeddings(jnp.zeros_like(ids))
+        return x + tt.astype(x.dtype)
+
+    # ------------------------------------------------------------------ blocks
+
+    def run_blocks(
+        self,
+        x: jax.Array,
+        mask: jax.Array | None,
+        route: str,
+        in_layer: int = 0,
+        out_layer: int | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        bias = key_padding_bias(mask)
+        for blk in self.blocks[in_layer:out_layer]:
+            x = blk(x, bias, route=route, deterministic=deterministic)
+        return x
+
+    def forward_interval(
+        self,
+        x: jax.Array,
+        mask: jax.Array | None = None,
+        route: str = "v",
+        need_embed: bool = False,
+        bool_masked_pos: jax.Array | None = None,
+        in_layer: int = 0,
+        out_layer: int | None = None,
+        img_token_type_idx: int = 1,
+        need_norm: bool = False,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Run an arbitrary block slice on one route (vlmo.py:326-355);
+        used by MIM with mim_head_pos='fusion'."""
+        if need_embed:
+            if route == "v":
+                x = self.embed_img(
+                    x, bool_masked_pos, img_token_type_idx, deterministic
+                )
+            elif route == "l":
+                x = self.embed_txt(x, deterministic)
+        x = self.run_blocks(x, mask, route, in_layer, out_layer, deterministic)
+        return self.norm(x).astype(self.dtype) if need_norm else x
+
+    # ------------------------------------------------------------ full forward
+
+    def forward_features(
+        self,
+        img: jax.Array | None = None,
+        txt: jax.Array | None = None,
+        txt_mask: jax.Array | None = None,
+        bool_masked_pos: jax.Array | None = None,
+        fusion_layer: int | None = None,
+        img_token_type_idx: int = 1,
+        deterministic: bool = True,
+    ) -> tuple[jax.Array, jax.Array | None]:
+        """Single / dual-stream forward (vlmo.py:357-414).
+
+        img-only → route 'v' through all blocks; txt-only → route 'l';
+        both → dual streams below fusion_layer, then concat [txt, img] and
+        route 'vl'. Returns (features, attention_mask). Image attention masks
+        are all-ones (reference infer always passes def_attn_masks,
+        vlmo_module.py:349-354).
+        """
+        if img is not None:
+            B = img.shape[0]
+            img_mask = jnp.ones((B, self.num_patches + 1), dtype=jnp.int32)
+
+        if txt is None:
+            x = self.embed_img(
+                img, bool_masked_pos, img_token_type_idx, deterministic
+            )
+            x = self.run_blocks(x, img_mask, "v", deterministic=deterministic)
+            return self.norm(x).astype(self.dtype), img_mask
+
+        if img is None:
+            x = self.embed_txt(txt, deterministic)
+            x = self.run_blocks(x, txt_mask, "l", deterministic=deterministic)
+            return self.norm(x).astype(self.dtype), txt_mask
+
+        fusion = fusion_layer if fusion_layer is not None else self.fusion_layer
+        img_x = self.embed_img(img, bool_masked_pos, img_token_type_idx, deterministic)
+        txt_x = self.embed_txt(txt, deterministic)
+
+        img_bias = key_padding_bias(img_mask)
+        txt_bias = key_padding_bias(txt_mask)
+        for blk in self.blocks[:fusion]:
+            img_x = blk(img_x, img_bias, route="v", deterministic=deterministic)
+            txt_x = blk(txt_x, txt_bias, route="l", deterministic=deterministic)
+
+        co = jnp.concatenate([txt_x, img_x], axis=1)
+        co_mask = jnp.concatenate([txt_mask, img_mask], axis=1)
+        co_bias = key_padding_bias(co_mask)
+        for blk in self.blocks[fusion:]:
+            co = blk(co, co_bias, route="vl", deterministic=deterministic)
+        return self.norm(co).astype(self.dtype), co_mask
+
+    def pool(self, co_feats: jax.Array) -> jax.Array:
+        return self.pooler(co_feats)
+
+    def init_streams(self, img: jax.Array, txt: jax.Array, txt_mask: jax.Array):
+        """Trace every route the expert layout supports so init materializes
+        the full parameter tree (single-route traces would only create the
+        experts they touch)."""
+        layout = self.experts_per_block or tuple(ROUTES for _ in range(self.depth))
+        feats, _ = self.forward_features(img=img)
+        self.forward_features(txt=txt, txt_mask=txt_mask)
+        if all("vl" in layout[i] for i in range(self.fusion_layer, self.depth)):
+            feats, _ = self.forward_features(img=img, txt=txt, txt_mask=txt_mask)
+        return self.pool(feats)
+
+    def __call__(self, img=None, txt=None, txt_mask=None, deterministic=True):
+        feats, _ = self.forward_features(
+            img=img, txt=txt, txt_mask=txt_mask, deterministic=deterministic
+        )
+        return feats

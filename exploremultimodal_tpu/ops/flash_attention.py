@@ -1,0 +1,110 @@
+"""Fused (flash-style) attention TPU kernel in Pallas.
+
+Replaces the reference's unfused softmax-attention matmul chain
+(models/vlmo/vlmo.py:88-95) — the hottest op in every VLMo stream. The kernel
+tiles over (batch·heads, query blocks); each program holds one query tile and
+the full key/value rows in VMEM, computes scores in fp32 on the MXU and the
+softmax-weighted sum without ever writing the (B, H, N, N) score tensor to
+HBM. VLMo sequences are short (txt 40 / img 197 / fused 237 / nlp 512), so
+full K/V rows per program fit comfortably in VMEM (512×64×4B×2 = 256 KiB);
+longer sequences would take a k-blocked online-softmax variant.
+
+Numerics: max-subtracted softmax in fp32, matching jax.nn.softmax, so the
+XLA path and this kernel agree to fp32 tolerance (tests/test_ops.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from exploremultimodal_tpu.ops.attention import NEG_INF
+
+BLOCK_Q = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
+    k = k_ref[0].astype(jnp.float32)  # (N, D)
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (BQ, N)
+    scores = scores + bias_ref[0]  # (1, N) key-padding bias broadcasts over rows
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    v = v_ref[0].astype(jnp.float32)  # (N, D)
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    bias: jax.Array | None = None,
+    scale: float,
+) -> jax.Array:
+    """q, k, v: (B, H, N, D); bias: (B, 1, 1, N) additive or None."""
+    B, H, N, D = q.shape
+    n_pad = _round_up(N, BLOCK_Q)
+
+    if bias is None:
+        key_bias = jnp.zeros((B, 1, N), dtype=jnp.float32)
+    else:
+        key_bias = bias.astype(jnp.float32).reshape(B, 1, N)
+    if n_pad != N:
+        pad = [(0, 0), (0, 0), (0, n_pad - N)]
+        key_bias = jnp.pad(key_bias, pad, constant_values=NEG_INF)
+        qkv_pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
+        q = jnp.pad(q, qkv_pad)
+        k = jnp.pad(k, qkv_pad)
+        v = jnp.pad(v, qkv_pad)
+
+    qf = q.reshape(B * H, n_pad, D)
+    kf = k.reshape(B * H, n_pad, D)
+    vf = v.reshape(B * H, n_pad, D)
+
+    n_q_blocks = n_pad // BLOCK_Q
+    grid = (B * H, n_q_blocks)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, D), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, D), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, D), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda bh, i, H=H: (bh // H, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, D), lambda bh, i: (bh, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * n_pad * n_pad * D,
+            bytes_accessed=3 * B * H * n_pad * D * q.dtype.itemsize
+            + B * H * n_pad * D * q.dtype.itemsize,
+            transcendentals=B * H * n_pad * n_pad,
+        ),
+        # CPU (tests) has no Mosaic backend; run interpreted there
+        interpret=jax.default_backend() == "cpu",
+    )(qf, kf, vf, key_bias)
+
+    out = out.reshape(B, H, n_pad, D)
+    return out[:, :, :N, :] if n_pad != N else out

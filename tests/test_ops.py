@@ -1,0 +1,83 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exploremultimodal_tpu.ops import multi_head_attention, drop_path
+from exploremultimodal_tpu.ops.attention import key_padding_bias
+
+
+def _naive_attention(q, k, v, mask=None):
+    """Oracle mirroring reference semantics (vlmo.py:88-95) in numpy."""
+    q, k, v = map(np.asarray, (q, k, v))
+    scale = q.shape[-1] ** -0.5
+    scores = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if mask is not None:
+        scores = np.where(np.asarray(mask)[:, None, None, :] > 0, scores, -np.inf)
+    scores = scores - scores.max(-1, keepdims=True)
+    probs = np.exp(scores)
+    probs = probs / probs.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _rand_qkv(rng, B=2, H=3, N=37, D=16):
+    qs = rng.normal(size=(3, B, H, N, D)).astype(np.float32)
+    return jnp.asarray(qs[0]), jnp.asarray(qs[1]), jnp.asarray(qs[2])
+
+
+def test_xla_attention_matches_naive_with_padding_mask():
+    rng = np.random.default_rng(0)
+    q, k, v = _rand_qkv(rng)
+    mask = np.ones((2, 37), dtype=np.int32)
+    mask[0, 20:] = 0  # pad out the tail keys of sample 0
+    out = multi_head_attention(
+        q, k, v, bias=key_padding_bias(jnp.asarray(mask)), impl="xla"
+    )
+    expected = _naive_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_attention_matches_xla():
+    rng = np.random.default_rng(1)
+    for N in (40, 197, 237):
+        q, k, v = _rand_qkv(rng, B=2, H=2, N=N, D=32)
+        mask = np.ones((2, N), dtype=np.int32)
+        mask[1, N // 2:] = 0
+        bias = key_padding_bias(jnp.asarray(mask))
+        ref = multi_head_attention(q, k, v, bias=bias, impl="xla")
+        out = multi_head_attention(q, k, v, bias=bias, impl="pallas")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_pallas_attention_no_mask():
+    rng = np.random.default_rng(2)
+    q, k, v = _rand_qkv(rng, B=1, H=4, N=128, D=64)
+    ref = multi_head_attention(q, k, v, impl="xla")
+    out = multi_head_attention(q, k, v, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_attention_dropout_changes_output_but_keeps_scale():
+    rng = np.random.default_rng(3)
+    q, k, v = _rand_qkv(rng)
+    det = multi_head_attention(q, k, v, deterministic=True)
+    drop = multi_head_attention(
+        q, k, v,
+        dropout_rate=0.5,
+        dropout_rng=jax.random.key(0),
+        deterministic=False,
+    )
+    assert not np.allclose(np.asarray(det), np.asarray(drop))
+    # means stay comparable (inverted-dropout scaling)
+    assert abs(np.asarray(drop).mean() - np.asarray(det).mean()) < 0.1
+
+
+def test_drop_path():
+    x = jnp.ones((8, 4, 4))
+    assert np.allclose(drop_path(x, 0.5, None, deterministic=True), x)
+    out = np.asarray(drop_path(x, 0.5, jax.random.key(0), deterministic=False))
+    per_sample = out.reshape(8, -1)
+    # each sample is either all zeros or all 1/keep
+    for row in per_sample:
+        assert np.allclose(row, 0.0) or np.allclose(row, 2.0)
