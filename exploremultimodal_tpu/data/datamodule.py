@@ -1,0 +1,204 @@
+"""Multi-dataset composition — the MTDataModule equivalent.
+
+Reference parity: data/multitask_datamodule.py + datamodules/__init__.py
+registry (vg, f30k, coco, gcc, sbu, vqa, nlvr2, book, wiki) +
+datamodule_base.py construction of tokenizer / MLM collator / mask generator /
+transforms. One `MultiTaskData(cfg)` builds concatenated train/val/test
+datasets and sharded loaders.
+
+Arrow table-name lists per dataset key mirror the reference's concrete
+dataset classes (e.g. coco Karpathy train+restval; gcc 31 train shards; sbu 9
+shards). A `synthetic` key provides the in-memory dataset for tests, smoke
+runs, and benchmarks.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from exploremultimodal_tpu.data.datasets import (
+    ConcatDataset,
+    ImageTextArrowDataset,
+    Nlvr2ArrowDataset,
+    SyntheticDataset,
+    TextCorpusDataset,
+    VqaArrowDataset,
+)
+from exploremultimodal_tpu.data.masking import MaskingGenerator
+from exploremultimodal_tpu.data.pipeline import ShardedLoader
+from exploremultimodal_tpu.data.tokenization import MlmCollator, get_tokenizer
+from exploremultimodal_tpu.data.transforms import (
+    EvalTransform,
+    FinetuneTransform,
+    PretrainTransform,
+)
+from exploremultimodal_tpu.data.vqa_vocab import load_or_build_vqa_vocab
+
+# arrow table names per (key, split) — reference data/datasets/*.py
+ARROW_TABLES: dict[str, dict[str, list[str]]] = {
+    "coco": {
+        "train": ["coco_caption_karpathy_train", "coco_caption_karpathy_restval"],
+        "val": ["coco_caption_karpathy_val"],
+        "test": ["coco_caption_karpathy_test"],
+    },
+    "f30k": {
+        "train": ["f30k_caption_karpathy_train"],
+        "val": ["f30k_caption_karpathy_val"],
+        "test": ["f30k_caption_karpathy_test"],
+    },
+    "vg": {"train": ["vg"], "val": [], "test": []},
+    "gcc": {
+        "train": [f"conceptual_caption_train_{i}" for i in range(31)],
+        "val": ["conceptual_caption_val_0"],
+        "test": [],
+    },
+    "sbu": {"train": [f"sbu_{i}" for i in range(9)], "val": [], "test": []},
+    "vqa": {
+        "train": ["vqav2_train", "vqav2_trainable_val"],
+        "val": ["vqav2_rest_val"],
+        "test": ["vqav2_test"],
+    },
+    "nlvr2": {
+        "train": ["nlvr2_train"],
+        "val": ["nlvr2_dev"],
+        "test": ["nlvr2_dev", "nlvr2_test1"],
+    },
+}
+
+NLP_KEYS = {"book": "bookcorpus", "wiki": "wikipedia"}
+
+
+class MultiTaskData:
+    """Builds per-key datasets, concatenates splits, hands out loaders."""
+
+    def __init__(self, cfg: Any, phase: str | None = None):
+        self.cfg = cfg
+        d = cfg.data
+        self.batch_size = d.batch_size
+        self.eval_batch_size = d.get("eval_batch_size") or d.batch_size
+        phase = phase or cfg.train.phase
+        self.is_pretrain = phase.startswith("pretrain")
+
+        self.tokenizer = get_tokenizer(d.tokenizer, d.get("tokenizer_dir"))
+        self.mlm_collator = MlmCollator(
+            self.tokenizer,
+            whole_word_masking=d.whole_word_masking,
+            mlm_prob=d.mlm_prob,
+        )
+        grid = d.img_size // d.patch_size
+        self.mask_generator = MaskingGenerator(
+            grid,
+            num_masking_patches=d.num_mask_patches,
+            min_num_patches=d.get("min_mask_patches_per_block") or 4,
+            max_num_patches=d.get("max_mask_patches_per_block"),
+        )
+        self.vqa_vocab = None
+
+        keys = list(cfg.train.datasets)
+        self.datasets = {
+            split: ConcatDataset(
+                [ds for k in keys for ds in [self._build(k, split)] if ds is not None and len(ds) > 0]
+            )
+            for split in ("train", "val", "test")
+        }
+
+    # ------------------------------------------------------------ builders
+
+    def _transform(self, split: str):
+        d = self.cfg.data
+        second = d.img_size // 2 if self.is_pretrain else None
+        if split == "train":
+            if self.is_pretrain:
+                return PretrainTransform(d.img_size, second)
+            return FinetuneTransform(d.img_size)
+        return EvalTransform(d.img_size, second)
+
+    def _build(self, key: str, split: str):
+        d = self.cfg.data
+        common = dict(
+            tokenizer=self.tokenizer,
+            max_text_len=self.cfg.model.max_text_len,
+            mlm_collator=self.mlm_collator,
+        )
+        if key == "synthetic":
+            vqa_size = (
+                d.vqav2_label_size
+                if "vqa" in self.cfg.train.loss_names
+                else None
+            )
+            return SyntheticDataset(
+                size=d.get("synthetic_size", 256),
+                img_size=d.img_size,
+                second_size=d.img_size // 2 if self.is_pretrain else None,
+                max_text_len=self.cfg.model.max_text_len,
+                vocab_size=self.cfg.model.vocab_size,
+                patch_grid=d.img_size // d.patch_size,
+                num_mask_patches=d.num_mask_patches,
+                vqa_label_size=vqa_size,
+                nlvr="nlvr2" in self.cfg.train.loss_names,
+            )
+        if key in NLP_KEYS:
+            path = os.path.join(d.data_root, NLP_KEYS[key])
+            if not os.path.exists(path):
+                return None
+            return TextCorpusDataset(
+                path, split=split,
+                tokenizer=self.tokenizer,
+                max_text_len=512,
+                mlm_collator=self.mlm_collator,
+            )
+        tables = ARROW_TABLES.get(key, {}).get(split, [])
+        tables = [
+            t for t in tables
+            if os.path.exists(os.path.join(d.data_root, f"{t}.arrow"))
+        ]
+        if not tables:
+            return None
+        if key == "vqa":
+            if self.vqa_vocab is None:
+                self.vqa_vocab = load_or_build_vqa_vocab()
+            return VqaArrowDataset(
+                d.data_root, tables, split=split,
+                transform=self._transform(split),
+                mask_generator=self.mask_generator if self.is_pretrain else None,
+                label_size=d.vqav2_label_size,
+                answer_vocab=self.vqa_vocab,
+                **common,
+            )
+        if key == "nlvr2":
+            return Nlvr2ArrowDataset(
+                d.data_root, tables, split=split,
+                transform=self._transform(split),
+                **common,
+            )
+        return ImageTextArrowDataset(
+            d.data_root, tables, split=split,
+            transform=self._transform(split),
+            mask_generator=self.mask_generator if self.is_pretrain else None,
+            image_only=d.get("image_only", False),
+            **common,
+        )
+
+    # ------------------------------------------------------------- loaders
+
+    def _loader(self, split: str, shuffle: bool) -> ShardedLoader:
+        d = self.cfg.data
+        return ShardedLoader(
+            self.datasets[split],
+            self.batch_size if split == "train" else self.eval_batch_size,
+            shuffle=shuffle,
+            seed=self.cfg.seed,
+            num_workers=d.get("num_workers", 8),
+            prefetch=d.get("prefetch_depth", 4),
+            drop_last=split == "train",
+        )
+
+    def train_loader(self) -> ShardedLoader:
+        return self._loader("train", shuffle=True)
+
+    def val_loader(self) -> ShardedLoader:
+        return self._loader("val", shuffle=False)
+
+    def test_loader(self) -> ShardedLoader:
+        return self._loader("test", shuffle=False)

@@ -309,7 +309,7 @@ class DiscreteVAE(nn.Module):
             )
             dec.append(
                 nn.ConvTranspose(self.hidden_dim, (4, 4), strides=(2, 2),
-                                 padding=((1, 1), (1, 1)), dtype=self.dtype)
+                                 padding="SAME", dtype=self.dtype)
             )
         self.enc_convs = enc
         self.dec_convs = dec

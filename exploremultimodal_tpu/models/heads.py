@@ -19,24 +19,29 @@ import jax.numpy as jnp
 Dtype = Any
 
 
-class MLMHead(nn.Module):
-    """BertPredictionHeadTransform (dense→gelu→LN) + tied decoder + bias."""
+class MLMTransform(nn.Module):
+    """BertPredictionHeadTransform (dense→gelu→LN) + output bias; the tied
+    decoder matmul itself lives on the backbone (VLMO.attend_vocab)."""
 
     dim: int
     vocab_size: int
     norm_eps: float = 1e-12
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array, embedding_table: jax.Array) -> jax.Array:
-        x = nn.Dense(self.dim, dtype=self.dtype, name="transform_dense")(x)
+    def setup(self) -> None:
+        self.transform_dense = nn.Dense(self.dim, dtype=self.dtype)
+        self.transform_ln = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32)
+        self.out_bias = self.param(
+            "bias", nn.initializers.zeros, (self.vocab_size,)
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = self.transform_dense(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.LayerNorm(
-            epsilon=self.norm_eps, dtype=jnp.float32, name="transform_ln"
-        )(x).astype(self.dtype)
-        bias = self.param("bias", nn.initializers.zeros, (self.vocab_size,))
-        logits = x @ embedding_table.T.astype(x.dtype) + bias.astype(x.dtype)
-        return logits
+        return self.transform_ln(x).astype(self.dtype)
+
+    def bias(self) -> jax.Array:
+        return self.out_bias
 
 
 class MIMHead(nn.Module):

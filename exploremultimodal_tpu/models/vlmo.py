@@ -204,20 +204,27 @@ class BertTextEmbeddings(nn.Module):
     norm_eps: float = 1e-12
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self) -> None:
+        self.word_embeddings = nn.Embed(self.vocab_size, self.dim)
+        self.position_embeddings = nn.Embed(self.max_len, self.dim)
+        self.token_type_embeddings = nn.Embed(2, self.dim)
+        self.LayerNorm = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32)
+        self.dropout = nn.Dropout(self.drop_rate)
+
     def __call__(self, ids: jax.Array, deterministic: bool = True) -> jax.Array:
-        word = nn.Embed(self.vocab_size, self.dim, name="word_embeddings")
-        pos = nn.Embed(self.max_len, self.dim, name="position_embeddings")
-        tte = nn.Embed(2, self.dim, name="token_type_embeddings")
         positions = jnp.arange(ids.shape[1])[None, :]
-        x = word(ids) + pos(positions) + tte(jnp.zeros_like(ids))
-        x = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32, name="LayerNorm")(x)
-        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        x = (
+            self.word_embeddings(ids)
+            + self.position_embeddings(positions)
+            + self.token_type_embeddings(jnp.zeros_like(ids))
+        )
+        x = self.LayerNorm(x)
+        x = self.dropout(x, deterministic=deterministic)
         return x.astype(self.dtype)
 
-    @property
-    def word_embedding_table(self):
-        return self.variables["params"]["word_embeddings"]["embedding"]
+    def attend(self, x: jax.Array) -> jax.Array:
+        """x @ word_embeddingᵀ — the tied MLM decoder matmul."""
+        return self.word_embeddings.attend(x)
 
 
 class Pooler(nn.Module):
@@ -459,6 +466,11 @@ class VLMO(nn.Module):
 
     def pool(self, co_feats: jax.Array) -> jax.Array:
         return self.pooler(co_feats)
+
+    def attend_vocab(self, x: jax.Array) -> jax.Array:
+        """Tied word-embedding decoder (MLMHead weight tying,
+        heads.py:95-96)."""
+        return self.txt_embeddings.attend(x)
 
     def init_streams(self, img: jax.Array, txt: jax.Array, txt_mask: jax.Array):
         """Trace every route the expert layout supports so init materializes

@@ -1,0 +1,480 @@
+"""Multitask objectives as pure, fixed-shape functions.
+
+Reference parity: models/vlmo/objectives.py. Each compute_* takes the bound
+VlmoTask module (the linen instance inside apply), the batch dict, and
+returns a dict with `<name>_task_loss` plus metrics — the same contract as
+the reference's objective library, reworked for XLA:
+
+  - boolean-index gathers (objectives.py:52-57,569-570) become fixed-shape
+    masked cross-entropies with identical loss values
+  - ITM hard-negative multinomial sampling (objectives.py:268-278) becomes
+    jax.random.categorical over log-weights with a −inf diagonal, on device
+  - the GatherLayer global contrastive gather becomes
+    parallel.all_gather_with_grad over the `data` mesh axis
+  - data-dependent control flow (mim_head_pos, loss gating, R-Drop) resolves
+    at trace time from static config
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from exploremultimodal_tpu.parallel import all_gather_with_grad
+
+Batch = dict[str, Any]
+
+ITC_TEMP_MAX = 4.6052  # log(100); objectives.py:83
+
+
+def masked_cross_entropy(
+    logits: jax.Array, labels: jax.Array, valid: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Mean CE / accuracy over `valid` positions (fixed-shape −100-mask
+    replacement for the reference's boolean-index gather). Returns
+    (loss, mean_acc, count)."""
+    logits = logits.astype(jnp.float32)
+    valid = valid.astype(jnp.float32)
+    count = valid.sum()
+    safe_labels = jnp.where(valid > 0, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    loss = -(ll * valid).sum() / jnp.maximum(count, 1.0)
+    preds = jnp.argmax(logits, axis=-1)
+    acc = ((preds == safe_labels) * valid).sum() / jnp.maximum(count, 1.0)
+    return loss, acc, count
+
+
+def compute_accuracy(logits: jax.Array, labels: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """MLM-adapted accuracy with −100 ignore (objectives.py:24-37)."""
+    valid = (labels != -100).astype(jnp.float32)
+    count = valid.sum()
+    preds = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+    acc = ((preds == labels) * valid).sum() / jnp.maximum(count, 1.0)
+    return acc, count
+
+
+def compute_vqa_score(logits: jax.Array, targets: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """VQAv2 soft score at the argmax answer (objectives.py:12-21)."""
+    idx = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+    score = jnp.take_along_axis(targets, idx[:, None], axis=-1)[:, 0]
+    return score.mean(), jnp.asarray(logits.shape[0], jnp.float32)
+
+
+# ------------------------------------------------------------------- MLM
+
+
+def compute_mlm(task, batch: Batch, deterministic: bool = True) -> dict:
+    """Masked-language-modeling CE over masked text positions
+    (objectives.py:40-78). Multimodal when an image is present, else txt-only."""
+    has_img = batch.get("image") is not None
+    infer = task.infer(
+        batch,
+        infer_mode="img-txt" if has_img else "txt_only",
+        mask_txt=True,
+        deterministic=deterministic,
+    )
+    txt_feats = infer["txt_feats"]
+    labels = infer["txt_labels"]
+
+    logits = task.mlm_logits(txt_feats)
+    valid = labels != -100
+    loss, acc, count = masked_cross_entropy(logits, labels, valid)
+    return {
+        "mlm_task_loss": loss,
+        "mlm_mean_acc": acc,
+        "mlm_count": count,
+    }
+
+
+# ------------------------------------------------------------------- ITC
+
+
+def compute_itc(
+    task,
+    batch: Batch,
+    deterministic: bool = True,
+    axis_name: str | None = None,
+    momentum_feats: dict | None = None,
+    queue: dict | None = None,
+) -> dict:
+    """Image-text contrastive loss (objectives.py:81-236).
+
+    Modes (trace-time, from task.config):
+      global_reduce — gradient-preserving all-gather of projected features
+                      over the data axis, local rows rolled first so positives
+                      sit on the diagonal (GatherLayer + torch.roll)
+      momentum      — `momentum_feats` carries {'i_feat_m','t_feat_m', and
+                      optionally 'i_feat_l_m','t_feat_l_m'} from the EMA
+                      encoder; `queue` carries {'img','txt'} (itc_dim, Q)
+                      negative queues (ALBEF-style)
+      naive         — in-batch similarities
+    """
+    temp = jnp.exp(jnp.clip(task.itc_temp_value(), 0.0, ITC_TEMP_MAX))
+
+    img_infer = task.infer(batch, infer_mode="img_only", deterministic=deterministic)
+    txt_infer = task.infer(batch, infer_mode="txt_only", deterministic=deterministic)
+
+    i_feat = task.itc_project(img_infer["co_feats"][:, 0], "v")
+    t_feat = task.itc_project(txt_infer["co_feats"][:, 0], "l")
+    i_feat = i_feat.astype(jnp.float32)
+    t_feat = t_feat.astype(jnp.float32)
+
+    bs = i_feat.shape[0]
+    targets = jnp.arange(bs)
+    sim_i2i = sim_t2t = None
+    local_g2l = None
+
+    if task.config.global_reduce and axis_name is not None:
+        i_feats = all_gather_with_grad(i_feat, axis_name)
+        t_feats = all_gather_with_grad(t_feat, axis_name)
+        sim_i2t = i_feat @ t_feats.T * temp
+        sim_t2i = t_feat @ i_feats.T * temp
+    elif momentum_feats is not None:
+        i_feat_m = momentum_feats["i_feat_m"].astype(jnp.float32)
+        t_feat_m = momentum_feats["t_feat_m"].astype(jnp.float32)
+        if queue is not None:
+            i_all = jnp.concatenate([i_feat_m.T, queue["img"]], axis=1)
+            t_all = jnp.concatenate([t_feat_m.T, queue["txt"]], axis=1)
+            sim_i2t = i_feat @ t_all * temp
+            sim_t2i = t_feat @ i_all * temp
+            sim_i2i = i_feat @ i_all * temp
+            sim_t2t = t_feat @ t_all * temp
+        else:
+            sim_i2t = i_feat @ t_feat_m.T * temp
+            sim_t2i = t_feat @ i_feat_m.T * temp
+            sim_i2i = i_feat @ i_feat_m.T * temp
+            sim_t2t = t_feat @ t_feat_m.T * temp
+        if "i_feat_l_m" in momentum_feats:
+            local_g2l = (
+                in_batch_g2l_loss(momentum_feats["i_feat_l_m"], i_feat, temp),
+                in_batch_g2l_loss(
+                    momentum_feats["t_feat_l_m"], t_feat, temp,
+                    txt_infer["txt_masks"][:, 1:],
+                ),
+            )
+    else:
+        sim_i2t = i_feat @ t_feat.T * temp
+        sim_t2i = sim_i2t.T
+
+    def ce(sim):
+        return -jnp.take_along_axis(
+            jax.nn.log_softmax(sim, axis=-1), targets[:, None], axis=-1
+        ).mean()
+
+    i2t_loss = ce(sim_i2t)
+    t2i_loss = ce(sim_t2i)
+    losses = [i2t_loss, t2i_loss]
+
+    i2t_acc = (jnp.argmax(sim_i2t[:, :bs], -1) == targets).mean()
+    t2i_acc = (jnp.argmax(sim_t2i[:, :bs], -1) == targets).mean()
+
+    ret = {
+        "i2t_Loss": i2t_loss,
+        "t2i_Loss": t2i_loss,
+        "sim_i2t": sim_i2t,
+        "sim_t2i": sim_t2i,
+        "itc_temp": temp,
+        "itc_i2t_mean_acc": i2t_acc,
+        "itc_i2t_count": jnp.asarray(bs, jnp.float32),
+        "itc_t2i_mean_acc": t2i_acc,
+        "itc_t2i_count": jnp.asarray(bs, jnp.float32),
+        "itc_i_feat": i_feat,
+        "itc_t_feat": t_feat,
+    }
+
+    if sim_i2i is not None:
+        i2i_loss = ce(sim_i2i)
+        t2t_loss = ce(sim_t2t)
+        losses += [i2i_loss, t2t_loss]
+        ret.update({"i2i_Loss": i2i_loss, "t2t_Loss": t2t_loss})
+        if local_g2l is not None:
+            i2i_l, t2t_l = local_g2l
+            losses += [i2i_l, t2t_l]
+            ret.update({"i2i_l_Loss": i2i_l, "t2t_l_Loss": t2t_l})
+
+    ret["itc_task_loss"] = sum(losses) / len(losses)
+    return ret
+
+
+def patch_pooling(x: jax.Array) -> jax.Array:
+    """√N×√N patch grid → ⁴√N×⁴√N average pool (objectives.py:468-476)."""
+    bs, length, dim = x.shape
+    b1 = int(length**0.5)
+    c1 = int(b1**0.5)
+    x = x.reshape(bs, b1 // c1, c1, b1 // c1, c1, dim)
+    return x.mean(axis=(2, 4)).reshape(bs, -1, dim)
+
+
+def in_batch_g2l_loss(l, m, temp, attention_mask=None) -> jax.Array:
+    """Global-to-local contrast (objectives.py:479-526): each global feature m
+    against its own local features (positives) vs all other samples' locals."""
+    l = l.astype(jnp.float32)
+    m = m.astype(jnp.float32)
+    N, n_locals, dim = l.shape
+    u_p = jnp.einsum("nld,nd->nl", l, m)[:, :, None, None] / temp  # (N,L,1,1)
+    if attention_mask is not None:
+        am = attention_mask[:, :, None, None].astype(jnp.float32)
+        u_p = am * u_p + 10000.0 * (1 - am)
+
+    u_n = jnp.einsum("md,nld->mnl", m, l) / temp  # (N, N, L)
+    u_n = u_n[:, :, :, None]  # (N, N, L, 1)
+    n_mask = 1.0 - jnp.eye(N)[:, :, None, None]
+    u_n = n_mask * u_n - 10000.0 * (1.0 - n_mask)
+    if attention_mask is not None:
+        am = attention_mask[None, :, :, None].astype(jnp.float32)
+        u_n = am * u_n - 10000.0 * (1 - am)
+    u_n = u_n.reshape(N, 1, N * n_locals, 1)
+    u_n = jnp.broadcast_to(u_n, (N, n_locals, N * n_locals, 1))
+
+    pred = jnp.concatenate([u_p, u_n], axis=2)  # (N, L, 1+NL, 1)
+    logp = jax.nn.log_softmax(pred, axis=2)[:, :, 0, 0]  # positive log-prob
+    if attention_mask is not None:
+        am = attention_mask.astype(jnp.float32)
+        return (-(logp * am).sum(1) / am.sum(1)).mean()
+    return -logp.mean()
+
+
+# ------------------------------------------------------------------- ITM
+
+
+def compute_itm(
+    task,
+    batch: Batch,
+    sim_dict: dict | None = None,
+    rng: jax.Array | None = None,
+    deterministic: bool = True,
+) -> dict:
+    """Image-text matching with ITC-guided hard negatives
+    (objectives.py:239-314). One fused forward over [pos, img-neg, txt-neg]
+    pairs (3·bs rows — same math as the reference's two forwards, one launch)."""
+    img = batch["image"]
+    txt_ids = batch["text_ids"]
+    txt_mask = batch["text_mask"]
+    bs = img.shape[0]
+    if rng is None:
+        rng = task.make_rng("sample")
+    r_img, r_txt, r1, r2 = jax.random.split(rng, 4)
+
+    if sim_dict is not None:
+        logw_i2t = jax.nn.log_softmax(
+            jax.lax.stop_gradient(sim_dict["sim_i2t"][:, :bs]), axis=1
+        )
+        logw_t2i = jax.nn.log_softmax(
+            jax.lax.stop_gradient(sim_dict["sim_t2i"][:, :bs]), axis=1
+        )
+    else:
+        logw_i2t = jax.random.normal(r1, (bs, bs))
+        logw_t2i = jax.random.normal(r2, (bs, bs))
+
+    eye = jnp.eye(bs, dtype=bool)
+    logw_i2t = jnp.where(eye, -jnp.inf, logw_i2t)
+    logw_t2i = jnp.where(eye, -jnp.inf, logw_t2i)
+
+    neg_img_idx = jax.random.categorical(r_img, logw_t2i, axis=1)  # per text
+    neg_txt_idx = jax.random.categorical(r_txt, logw_i2t, axis=1)  # per image
+
+    img_all = jnp.concatenate([img, img[neg_img_idx], img], axis=0)
+    txt_all = jnp.concatenate([txt_ids, txt_ids, txt_ids[neg_txt_idx]], axis=0)
+    mask_all = jnp.concatenate([txt_mask, txt_mask, txt_mask[neg_txt_idx]], axis=0)
+
+    infer = task.infer(
+        {"image": img_all, "text_ids": txt_all, "text_mask": mask_all},
+        infer_mode="img-txt",
+        deterministic=deterministic,
+    )
+    logits = task.itm_logits(infer["cls_feats"])
+    labels = jnp.concatenate(
+        [jnp.ones(bs, jnp.int32), jnp.zeros(2 * bs, jnp.int32)]
+    )
+    loss, acc, count = masked_cross_entropy(
+        logits, labels, jnp.ones_like(labels)
+    )
+    return {
+        "itm_task_loss": loss,
+        "itm_mean_acc": acc,
+        "itm_count": count,
+    }
+
+
+# ------------------------------------------------------------------- MIM
+
+
+def compute_mim(task, batch: Batch, deterministic: bool = True) -> dict:
+    """Masked-image-modeling CE against frozen dVAE codes
+    (objectives.py:532-592). `batch['mim_labels']` carries the token ids
+    (computed outside the jitted loss by the frozen tokenizer)."""
+    labels = batch["mim_labels"]  # (B, num_patches)
+    bool_masked = batch["image_bool_masked_pos"].astype(jnp.float32)
+
+    head_pos = task.config.mim_head_pos
+    if head_pos == "img":
+        infer = task.infer(
+            batch, infer_mode="img_only", mask_img=True,
+            deterministic=deterministic,
+        )
+        img_feats = infer["img_feats"]
+    elif head_pos == "mum":
+        infer = task.infer(
+            batch, infer_mode="img-txt", mask_img=True,
+            deterministic=deterministic,
+        )
+        img_feats = infer["img_feats"]
+    elif head_pos == "fusion":
+        img_feats = task.backbone_interval_img(
+            batch["image"],
+            batch["image_bool_masked_pos"],
+            out_layer=task.config.fusion_layer,
+            deterministic=deterministic,
+        )
+    else:
+        raise ValueError(f"mim_head_pos {head_pos!r}")
+
+    patch_feats = img_feats[:, 1:]  # drop CLS
+    logits = task.mim_logits(patch_feats)
+    loss, acc, count = masked_cross_entropy(logits, labels, bool_masked)
+    return {
+        "mim_task_loss": loss,
+        "mim_mean_acc": acc,
+        "mim_count": count,
+    }
+
+
+# ------------------------------------------------------------------- VQA
+
+
+def _bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    logits = logits.astype(jnp.float32)
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+
+
+def compute_vqa(
+    task,
+    batch: Batch,
+    deterministic: bool = True,
+    isda_state=None,
+    isda_ratio: float = 0.0,
+) -> dict:
+    """VQAv2 BCE over 3129 soft targets (objectives.py:317-389), with optional
+    ISDA logit augmentation and R-Drop symmetric KL (kl_alpha > 0)."""
+    infer = task.infer(batch, infer_mode="img-txt", deterministic=deterministic)
+    use_isda = isda_state is not None
+    logits, hidden = task.vqa_logits(infer["cls_feats"], return_hidden=True)
+    targets = batch["vqa_targets"].astype(jnp.float32)
+    num_answers = targets.shape[1]
+
+    ret = {"vqa_logits": logits, "vqa_count": jnp.asarray(logits.shape[0], jnp.float32)}
+    new_isda_state = isda_state
+
+    train_logits = logits
+    if use_isda and not deterministic:
+        from exploremultimodal_tpu.models import heads as H
+
+        onehot = (targets > 0).astype(jnp.float32)
+        new_isda_state = H.isda_update(isda_state, hidden, onehot)
+        labels = jnp.argmax(targets, axis=1)
+        train_logits = H.isda_logits(
+            logits, hidden, task.vqa_last_kernel(), labels,
+            jax.lax.stop_gradient(new_isda_state.cov), isda_ratio,
+        )
+
+    vqa_loss = _bce_with_logits(train_logits, targets).mean() * num_answers
+    score, count = compute_vqa_score(logits, targets)
+    ret.update({
+        "vqa_task_loss": vqa_loss,
+        "vqa_mean_score": score,
+        "vqa_count": count,
+        "isda_state": new_isda_state,
+    })
+
+    kl_alpha = task.config.kl_alpha
+    if kl_alpha > 0 and not deterministic:
+        infer2 = task.infer(batch, infer_mode="img-txt", deterministic=False)
+        logits2 = task.vqa_logits(infer2["cls_feats"])
+        loss2 = _bce_with_logits(logits2, targets).mean() * num_answers
+        vqa_loss = (vqa_loss + loss2) / 2.0
+
+        p = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        q = jax.nn.log_softmax(logits2.astype(jnp.float32), -1)
+        kl = (jnp.exp(q) * (q - p)).sum()
+        r_kl = (jnp.exp(p) * (p - q)).sum()
+        kl_loss = (kl + r_kl) / 4.0 * kl_alpha
+        ret.update({"vqa_task_loss": vqa_loss, "vqa_kl_task_loss": kl_loss})
+
+    return ret
+
+
+# ------------------------------------------------------------------ NLVR2
+
+
+def compute_nlvr2(task, batch: Batch, deterministic: bool = True) -> dict:
+    """Two fused forwards with image token types 1/2, concat CLS, 2-way CE
+    (objectives.py:885-943)."""
+    infer1 = task.infer(
+        batch, infer_mode="img-txt", image_token_type_idx=1,
+        deterministic=deterministic,
+    )
+    infer2 = task.infer(
+        batch, infer_mode="img-txt", image_token_type_idx=2,
+        deterministic=deterministic,
+    )
+    cls = jnp.concatenate([infer1["cls_feats"], infer2["cls_feats"]], axis=-1)
+    logits = task.nlvr2_logits(cls)
+    labels = batch["answers"].astype(jnp.int32)
+    loss, acc, count = masked_cross_entropy(logits, labels, jnp.ones_like(labels))
+    return {
+        "nlvr2_task_loss": loss,
+        "nlvr2_logits": logits,
+        "nlvr2_mean_acc": acc,
+        "nlvr2_count": count,
+    }
+
+
+# ------------------------------------------------------------------- MPP
+
+
+def compute_mpp(task, batch: Batch, deterministic: bool = True) -> dict:
+    """Masked-patch prediction: 3×256-way discretized-RGB CE on masked patches
+    (objectives.py:781-813). Labels (B, P, 3) with −100 ignore."""
+    infer = task.infer(
+        batch, infer_mode="img-txt", mask_img=True, deterministic=deterministic
+    )
+    logits = task.mpp_logits(infer["img_feats"][:, 1:])  # (B, P, 768)
+    B, P, _ = logits.shape
+    logits = logits.reshape(B, P, 3, 256)
+    labels = batch["image_labels_mpp"]  # (B, P, 3)
+    valid = labels != -100
+    loss, acc, count = masked_cross_entropy(logits, labels, valid)
+    return {"mpp_task_loss": loss, "mpp_mean_acc": acc, "mpp_count": count}
+
+
+# ------------------------------------------------------------------ IRTR
+
+
+def compute_irtr(task, batch: Batch, deterministic: bool = True) -> dict:
+    """In-batch text-retrieval ranking over drawn false texts
+    (objectives.py:946-984): score true + F false (image, text) pairs, CE
+    with the true pair at index 0."""
+    img = batch["image"]
+    false_ids = batch["false_text_ids"]  # (B, F, L)
+    false_mask = batch["false_text_mask"]
+    B, F_, L = false_ids.shape
+
+    ids = jnp.concatenate([batch["text_ids"][:, None], false_ids], axis=1)
+    mask = jnp.concatenate([batch["text_mask"][:, None], false_mask], axis=1)
+    imgs = jnp.broadcast_to(img[:, None], (B, F_ + 1) + img.shape[1:])
+
+    flat = {
+        "image": imgs.reshape((B * (F_ + 1),) + img.shape[1:]),
+        "text_ids": ids.reshape(B * (F_ + 1), L),
+        "text_mask": mask.reshape(B * (F_ + 1), L),
+    }
+    infer = task.infer(flat, infer_mode="img-txt", deterministic=deterministic)
+    score = task.rank_logits(infer["cls_feats"])[:, 0].reshape(B, F_ + 1)
+    labels = jnp.zeros((B,), jnp.int32)
+    loss, acc, count = masked_cross_entropy(score, labels, jnp.ones_like(labels))
+    return {"irtr_task_loss": loss, "irtr_mean_acc": acc, "irtr_count": count}

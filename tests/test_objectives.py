@@ -1,0 +1,274 @@
+"""Objective math tests on tiny fixed inputs (SURVEY.md §4 test strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from exploremultimodal_tpu.models.task import VlmoConfig, VlmoTask, total_loss
+from exploremultimodal_tpu.objectives.losses import (
+    ITC_TEMP_MAX,
+    compute_vqa_score,
+    masked_cross_entropy,
+    patch_pooling,
+)
+
+TINY = dict(
+    img_size=32, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+    max_text_len=8, vocab_size=50, fusion_layer=1, init_values=0.1,
+    drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+    img_vocab_size=24, itc_dim=16, vqa_label_size=13,
+)
+N_PATCH = 4
+
+
+def make_task(loss_names, phase="pretrain_mum", **kw):
+    cfg = VlmoConfig(**{**TINY, **kw}, loss_names=tuple(loss_names), phase=phase)
+    return VlmoTask(cfg)
+
+
+def make_batch(rng_seed=0, bs=4, with_img=True, nlvr=False):
+    rng = np.random.default_rng(rng_seed)
+    L, V = TINY["max_text_len"], TINY["vocab_size"]
+    batch = {
+        "text_ids": jnp.asarray(rng.integers(0, V, (bs, L))),
+        "text_mask": jnp.asarray(np.ones((bs, L), np.int32)),
+    }
+    ids_mlm = np.asarray(batch["text_ids"]).copy()
+    labels = np.full((bs, L), -100)
+    masked = rng.random((bs, L)) < 0.3
+    masked[:, 0] = False
+    labels[masked] = ids_mlm[masked]
+    ids_mlm[masked] = 3  # [MASK]-ish
+    batch["text_ids_mlm"] = jnp.asarray(ids_mlm)
+    batch["text_labels_mlm"] = jnp.asarray(labels)
+    if with_img:
+        batch["image"] = jnp.asarray(
+            rng.normal(size=(bs, 32, 32, 3)).astype(np.float32)
+        )
+        bmp = np.zeros((bs, N_PATCH), np.int32)
+        bmp[:, :2] = 1
+        batch["image_bool_masked_pos"] = jnp.asarray(bmp)
+        batch["mim_labels"] = jnp.asarray(
+            rng.integers(0, TINY["img_vocab_size"], (bs, N_PATCH))
+        )
+        batch["vqa_targets"] = jnp.asarray(
+            (rng.random((bs, TINY["vqa_label_size"])) < 0.2).astype(np.float32)
+        )
+    if nlvr:
+        batch["image_0"] = batch["image"]
+        batch["image_1"] = jnp.asarray(
+            rng.normal(size=(bs, 32, 32, 3)).astype(np.float32)
+        )
+        batch["answers"] = jnp.asarray(rng.integers(0, 2, (bs,)))
+    return batch
+
+
+def init_task(task, batch):
+    return task.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        batch, method=VlmoTask.init_streams,
+    )
+
+
+# ----------------------------------------------------------------- helpers
+
+
+def test_masked_cross_entropy_matches_torch():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(6, 10)).astype(np.float32)
+    labels = rng.integers(0, 10, (6,))
+    valid = np.array([1, 1, 0, 1, 0, 1])
+    labels_t = np.where(valid > 0, labels, -100)
+
+    loss, acc, count = masked_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(valid)
+    )
+    ref = F.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(labels_t), ignore_index=-100
+    )
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-6)
+    assert int(count) == 4
+
+
+def test_masked_ce_zero_count_safe():
+    loss, acc, count = masked_cross_entropy(
+        jnp.ones((2, 5)), jnp.zeros((2,), jnp.int32), jnp.zeros((2,))
+    )
+    assert np.isfinite(float(loss)) and int(count) == 0
+
+
+def test_vqa_score_semantics():
+    logits = jnp.asarray([[0.1, 5.0, 0.0], [9.0, 0.0, 0.0]])
+    targets = jnp.asarray([[0.0, 0.6, 1.0], [0.0, 1.0, 0.3]])
+    score, count = compute_vqa_score(logits, targets)
+    # argmax answers: 1 (→0.6) and 0 (→0.0); mean = 0.3
+    np.testing.assert_allclose(float(score), 0.3, rtol=1e-6)
+    assert int(count) == 2
+
+
+def test_patch_pooling_shape_and_mean():
+    x = jnp.ones((2, 16, 8))  # 4×4 grid → 2×2 pool
+    out = patch_pooling(x)
+    assert out.shape == (2, 4, 8)
+    np.testing.assert_allclose(np.asarray(out), 1.0)
+
+
+# -------------------------------------------------------------- objectives
+
+
+def test_mlm_txt_only_and_multimodal():
+    task = make_task(["mlm"], phase="pretrain_txt")
+    batch = make_batch(with_img=False)
+    batch["image"] = None
+    variables = init_task(task, {**make_batch(with_img=False), "image": None})
+    out = task.apply(variables, batch, rngs={"sample": jax.random.key(2)})
+    assert np.isfinite(float(out["mlm_task_loss"]))
+    assert float(out["mlm_count"]) > 0
+
+    task_mm = make_task(["mlm"], phase=None)
+    batch_mm = make_batch()
+    variables = init_task(task_mm, batch_mm)
+    out = task_mm.apply(variables, batch_mm, rngs={"sample": jax.random.key(2)})
+    assert np.isfinite(float(out["mlm_task_loss"]))
+
+
+def test_itc_naive_math():
+    task = make_task(["itc"], phase=None)
+    batch = make_batch()
+    variables = init_task(task, batch)
+    out = task.apply(variables, batch, rngs={"sample": jax.random.key(2)})
+
+    # recompute from returned features (projection already L2-normalized)
+    i, t = np.asarray(out["itc_i_feat"]), np.asarray(out["itc_t_feat"])
+    np.testing.assert_allclose(np.linalg.norm(i, axis=-1), 1.0, rtol=1e-5)
+    temp = float(out["itc_temp"])
+    sim = i @ t.T * temp
+    bs = sim.shape[0]
+    logp = sim - np.log(np.exp(sim).sum(-1, keepdims=True))
+    expected_i2t = -np.diag(logp).mean()
+    simT = sim.T
+    logpT = simT - np.log(np.exp(simT).sum(-1, keepdims=True))
+    expected = (expected_i2t + -np.diag(logpT).mean()) / 2
+    np.testing.assert_allclose(float(out["itc_task_loss"]), expected, rtol=1e-4)
+
+
+def test_itc_temp_clamped():
+    task = make_task(["itc"], phase=None)
+    batch = make_batch()
+    variables = init_task(task, batch)
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    params["itc_temp"] = jnp.asarray(10.0)  # way beyond log(100)
+    out = task.apply({"params": params}, batch, rngs={"sample": jax.random.key(2)})
+    np.testing.assert_allclose(float(out["itc_temp"]), np.exp(ITC_TEMP_MAX), rtol=1e-5)
+
+
+def test_itm_with_and_without_itc_guidance():
+    task = make_task(["itc", "itm"], phase=None)
+    batch = make_batch()
+    variables = init_task(task, batch)
+    out = task.apply(variables, batch, rngs={"sample": jax.random.key(3)})
+    assert np.isfinite(float(out["itm_task_loss"]))
+    assert 0.0 <= float(out["itm_mean_acc"]) <= 1.0
+    assert int(out["itm_count"]) == 3 * 4  # 3·bs pairs
+
+    task2 = make_task(["itm"], phase=None)
+    variables2 = init_task(task2, batch)
+    out2 = task2.apply(variables2, batch, rngs={"sample": jax.random.key(4)})
+    assert np.isfinite(float(out2["itm_task_loss"]))
+
+
+def test_mim_only_masked_positions_matter():
+    task = make_task(["mim"], phase=None)
+    batch = make_batch()
+    variables = init_task(task, batch)
+    out1 = task.apply(variables, batch, rngs={"sample": jax.random.key(2)})
+
+    labels2 = np.asarray(batch["mim_labels"]).copy()
+    labels2[:, 2:] = (labels2[:, 2:] + 7) % TINY["img_vocab_size"]  # unmasked only
+    out2 = task.apply(
+        variables, {**batch, "mim_labels": jnp.asarray(labels2)},
+        rngs={"sample": jax.random.key(2)},
+    )
+    np.testing.assert_allclose(
+        float(out1["mim_task_loss"]), float(out2["mim_task_loss"]), rtol=1e-6
+    )
+
+    labels3 = np.asarray(batch["mim_labels"]).copy()
+    labels3[:, :2] = (labels3[:, :2] + 7) % TINY["img_vocab_size"]  # masked
+    out3 = task.apply(
+        variables, {**batch, "mim_labels": jnp.asarray(labels3)},
+        rngs={"sample": jax.random.key(2)},
+    )
+    assert abs(float(out1["mim_task_loss"]) - float(out3["mim_task_loss"])) > 1e-6
+
+
+def test_mim_fusion_head_pos():
+    task = make_task(["mim"], phase=None, mim_head_pos="fusion")
+    batch = make_batch()
+    variables = init_task(task, batch)
+    out = task.apply(variables, batch, rngs={"sample": jax.random.key(2)})
+    assert np.isfinite(float(out["mim_task_loss"]))
+
+
+def test_vqa_bce_matches_torch():
+    task = make_task(["vqa"], phase="finetune_vqa")
+    batch = make_batch()
+    variables = init_task(task, batch)
+    out = task.apply(variables, batch, rngs={"sample": jax.random.key(2)})
+
+    logits = torch.from_numpy(np.asarray(out["vqa_logits"], np.float32))
+    targets = torch.from_numpy(np.asarray(batch["vqa_targets"], np.float32))
+    ref = F.binary_cross_entropy_with_logits(logits, targets) * targets.shape[1]
+    np.testing.assert_allclose(float(out["vqa_task_loss"]), float(ref), rtol=1e-4)
+
+
+def test_vqa_rdrop_kl():
+    task = make_task(["vqa"], phase="finetune_vqa", kl_alpha=0.5, drop_rate=0.1)
+    batch = make_batch()
+    variables = init_task(task, batch)
+    out = task.apply(
+        variables, batch, deterministic=False,
+        rngs={
+            "sample": jax.random.key(2),
+            "dropout": jax.random.key(3),
+            "droppath": jax.random.key(4),
+        },
+    )
+    assert "vqa_kl_task_loss" in out
+    assert np.isfinite(float(out["vqa_kl_task_loss"]))
+
+
+def test_nlvr2_two_images():
+    task = make_task(["nlvr2"], phase="finetune_nlvr2")
+    batch = make_batch(nlvr=True)
+    variables = init_task(task, batch)
+    out = task.apply(variables, batch, rngs={"sample": jax.random.key(2)})
+    assert out["nlvr2_logits"].shape == (4, 2)
+    assert np.isfinite(float(out["nlvr2_task_loss"]))
+
+    # answers must matter
+    out2 = task.apply(
+        variables, {**batch, "answers": 1 - batch["answers"]},
+        rngs={"sample": jax.random.key(2)},
+    )
+    assert abs(float(out["nlvr2_task_loss"]) - float(out2["nlvr2_task_loss"])) > 1e-6
+
+
+def test_pretrain_mum_all_losses_and_total():
+    task = make_task(["mlm", "itc", "itm", "mim"], phase="pretrain_mum")
+    batch = make_batch()
+    variables = init_task(task, batch)
+    out = task.apply(variables, batch, rngs={"sample": jax.random.key(2)})
+    for k in ("mlm_task_loss", "itc_task_loss", "itm_task_loss", "mim_task_loss"):
+        assert np.isfinite(float(out[k])), k
+    total = total_loss(out)
+    expected = sum(float(out[k]) for k in out if k.endswith("_task_loss"))
+    np.testing.assert_allclose(float(total), expected, rtol=1e-6)
+
+
+def test_total_loss_filters_nonfinite():
+    out = {"a_task_loss": jnp.asarray(1.5), "b_task_loss": jnp.asarray(np.nan),
+           "c_metric": jnp.asarray(7.0)}
+    np.testing.assert_allclose(float(total_loss(out)), 1.5)
