@@ -129,6 +129,8 @@ class MultiTaskData:
             )
             return SyntheticDataset(
                 size=d.get("synthetic_size", 256),
+                text_only=set(self.cfg.train.loss_names) <= {"mlm"}
+                and "txt" in self.cfg.train.phase,
                 img_size=d.img_size,
                 second_size=d.img_size // 2 if self.is_pretrain else None,
                 max_text_len=self.cfg.model.max_text_len,

@@ -272,6 +272,7 @@ class SyntheticDataset:
         min_mask_per_block: int = 16,
         vqa_label_size: int | None = None,
         nlvr: bool = False,
+        text_only: bool = False,
         seed: int = 0,
     ):
         self.size = size
@@ -282,6 +283,7 @@ class SyntheticDataset:
         self.seed = seed
         self.vqa_label_size = vqa_label_size
         self.nlvr = nlvr
+        self.text_only = text_only
         self.mask_generator = MaskingGenerator(
             patch_grid, num_mask_patches,
             min_num_patches=min(min_mask_per_block, num_mask_patches),
@@ -308,14 +310,17 @@ class SyntheticDataset:
 
         sample: Sample = {
             "index": np.int64(index),
-            "image_u8": rng.integers(0, 256, (self.img_size, self.img_size, 3),
-                                     dtype=np.uint8),
             "text_ids": ids,
             "text_mask": mask,
             "text_ids_mlm": ids_mlm,
             "text_labels_mlm": labels,
-            "image_bool_masked_pos": self.mask_generator(rng).reshape(-1),
         }
+        if self.text_only:
+            return sample
+        sample["image_u8"] = rng.integers(
+            0, 256, (self.img_size, self.img_size, 3), dtype=np.uint8
+        )
+        sample["image_bool_masked_pos"] = self.mask_generator(rng).reshape(-1)
         if self.second_size:
             sample["image4dalle_u8"] = rng.integers(
                 0, 256, (self.second_size, self.second_size, 3), dtype=np.uint8

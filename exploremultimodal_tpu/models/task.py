@@ -62,6 +62,7 @@ class VlmoConfig:
     # compute
     dtype_name: str = "float32"
     attn_impl: str = "xla"
+    remat: bool = False
 
     @property
     def dtype(self):
@@ -97,6 +98,7 @@ class VlmoConfig:
             isda_lambda=float(t.get("isda_lambda", 0.0)),
             dtype_name=cfg.get("compute_dtype", "float32"),
             attn_impl=cfg.get("attn_impl", "xla"),
+            remat=bool(cfg.select("parallel.remat", False)),
         )
 
 
@@ -125,6 +127,7 @@ class VlmoTask(nn.Module):
             experts_per_block=expert_layout(c.depth, c.fusion_layer, c.phase),
             dtype=c.dtype,
             attn_impl=c.attn_impl,
+            remat=c.remat,
         )
         hs = c.embed_dim
         if "mlm" in c.loss_names:

@@ -278,6 +278,7 @@ class VLMO(nn.Module):
     experts_per_block: tuple[tuple[str, ...], ...] | None = None
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    remat: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -317,8 +318,13 @@ class VLMO(nn.Module):
         import numpy as np
 
         dpr = [float(x) for x in np.linspace(0.0, self.drop_path_rate, self.depth)]
+        # rematerialization: recompute block activations in backward instead
+        # of storing them (jax.checkpoint) — the FSDP preset's memory lever
+        block_cls = (
+            nn.remat(Block, static_argnums=(3, 4)) if self.remat else Block
+        )
         self.blocks = [
-            Block(
+            block_cls(
                 dim=self.embed_dim,
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,

@@ -1,0 +1,179 @@
+"""Optimizer factory: AdamW + layered LR groups + per-iteration schedules.
+
+Reference parity:
+  - get_parameter_groups (utils/optim_factory.py:22-90): head params ×
+    lr_mult_head, fusion params (blocks[fusion_layer:] + pooler) ×
+    lr_mult_fusion, everything else ×1; no weight decay for 1-D params,
+    biases, and the skip set {itc_temp, pos_embed, img_cls_token}
+    (vlmo_module.py:438-443)
+  - build_scheduler (utils/lr_scheduler.py): linear (decay to 1% of base) /
+    cosine / step, all stepped per iteration with linear warmup
+  - Apex FusedAdam → optax.adamw (XLA fuses the update)
+  - fixed_attn freezing (pretrain_txt, vlmo_module.py:150-163) as a 0×
+    multiplier instead of requires_grad surgery
+
+Composition: clip_by_global_norm → scale_by_adam → add_decayed_weights(mask)
+→ −lr(schedule) → per-leaf multiplier. Weight decay therefore scales with the
+group LR, matching torch AdamW group semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def build_schedule(train_cfg: Any, steps_per_epoch: int) -> optax.Schedule:
+    total_steps = int(train_cfg.epochs * steps_per_epoch)
+    warmup = int(train_cfg.warmup_epochs * steps_per_epoch)
+    if train_cfg.get("warmup_steps"):
+        warmup = int(train_cfg.warmup_steps)
+    warmup = min(warmup, max(total_steps - 1, 1))
+    base = float(train_cfg.base_lr)
+    warmup_lr = float(train_cfg.get("warmup_lr", 0.0))
+    min_lr = float(train_cfg.get("min_lr", 0.0))
+    name = train_cfg.lr_scheduler.name
+
+    if name == "linear":
+        # LinearLRScheduler (lr_scheduler.py:49-108): decay to 1% of base
+        decay = optax.linear_schedule(
+            base, base * 0.01, max(total_steps - warmup, 1)
+        )
+    elif name == "cosine":
+        decay = optax.cosine_decay_schedule(
+            base, max(total_steps - warmup, 1), alpha=min_lr / base
+        )
+    elif name == "step":
+        decay_steps = int(train_cfg.lr_scheduler.decay_epochs * steps_per_epoch)
+        rate = float(train_cfg.lr_scheduler.decay_rate)
+        decay = lambda t: base * rate ** (t // max(decay_steps, 1))  # noqa: E731
+    else:
+        raise ValueError(f"unknown lr scheduler {name!r}")
+
+    warmup_fn = optax.linear_schedule(warmup_lr, base, max(warmup, 1))
+    return optax.join_schedules([warmup_fn, decay], [warmup])
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", p)) for p in path)
+
+
+HEAD_NAMES = (
+    "mlm_head", "itc_head", "itm_head", "mim_head", "mpp_head",
+    "vqa_classifier", "nlvr2_classifier", "rank_output",
+)
+
+
+def lr_multipliers(
+    params: Any,
+    fusion_layer: int,
+    depth: int,
+    lr_mult_head: float = 1.0,
+    lr_mult_fusion: float = 1.0,
+    freeze_predicate: Callable[[str], bool] | None = None,
+) -> Any:
+    """Per-leaf LR multiplier tree (get_parameter_groups semantics)."""
+    fusion_blocks = {f"blocks_{i}" for i in range(fusion_layer, depth)}
+
+    def mult(path, leaf):
+        name = _path_str(path)
+        if freeze_predicate is not None and freeze_predicate(name):
+            return 0.0
+        if any(h in name for h in HEAD_NAMES):
+            return float(lr_mult_head)
+        if any(b in name for b in fusion_blocks) or "pooler" in name:
+            return float(lr_mult_fusion)
+        return 1.0
+
+    return jax.tree_util.tree_map_with_path(mult, params)
+
+
+def no_decay_mask(params: Any) -> Any:
+    """True where weight decay applies (≥2-D, non-bias, not in skip set)."""
+    skip = ("itc_temp", "pos_embed", "img_cls_token", "img_mask_token")
+
+    def decayed(path, leaf):
+        name = _path_str(path)
+        if any(s in name for s in skip):
+            return False
+        if leaf.ndim <= 1 or name.endswith("bias"):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(decayed, params)
+
+
+def fixed_attn_predicate(name: str) -> bool:
+    """pretrain_txt fixed_attn=true freeze set (vlmo_module.py:150-163):
+    shared attention, block norms, gammas, and the final norm."""
+    inside_block = "blocks_" in name
+    if inside_block and any(
+        part in name for part in ("attn", "norm1", "norm2", "gamma_1", "gamma_2")
+    ):
+        return True
+    return name.startswith("transformer/norm/")
+
+
+def scale_by_multipliers(multipliers: Any) -> optax.GradientTransformation:
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map(
+            lambda u, m: u * m, updates, multipliers
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def create_optimizer(
+    cfg: Any,
+    params: Any,
+    steps_per_epoch: int,
+) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    """Reference create_optimizer (optim_factory.py:93-199) for the adamw
+    family (the reference default is apex fusedadamw)."""
+    t = cfg.train
+    schedule = build_schedule(t, steps_per_epoch)
+
+    freeze = fixed_attn_predicate if t.get("fixed_attn") else None
+    mults = lr_multipliers(
+        params,
+        cfg.model.fusion_layer,
+        cfg.model.depth,
+        lr_mult_head=t.get("lr_mult_head", 1.0),
+        lr_mult_fusion=t.get("lr_mult_fusion", 1.0),
+        freeze_predicate=freeze,
+    )
+
+    opt_name = t.opt.name.lower().replace("fused", "")
+    if opt_name not in ("adamw", "adam"):
+        raise NotImplementedError(f"optimizer {t.opt.name}")
+
+    chain = [
+        optax.clip_by_global_norm(float(t.clip_grad)) if t.get("clip_grad")
+        else optax.identity(),
+        optax.scale_by_adam(
+            b1=float(t.opt.betas[0]),
+            b2=float(t.opt.betas[1]),
+            eps=float(t.opt.eps),
+        ),
+        optax.add_decayed_weights(float(t.weight_decay), mask=no_decay_mask(params))
+        if opt_name == "adamw"
+        else optax.identity(),
+        optax.scale_by_learning_rate(schedule),
+        scale_by_multipliers(mults),
+    ]
+    return optax.chain(*chain), schedule
+
+
+def global_norm(tree: Any) -> jax.Array:
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree.leaves(tree))
+    )

@@ -1,0 +1,163 @@
+"""Phase drivers: the reference's per-phase entry points as thin plugins.
+
+Reference parity (main.py:45-83 dispatch):
+  pretrain_mum   multimodal MLM+ITC+ITM+MIM  (train/pretrain/multimodal.py)
+  pretrain_txt   text-only MLM               (train/pretrain/text.py)
+  pretrain_vis   vision-only MIM — runnable here, unlike the reference's
+                 broken stub (train/pretrain/visual.py:73)
+  finetune_vqa   VQAv2 + submission JSON     (train/finetune/vqa.py)
+  finetune_nlvr2 NLVR2 classification (the reference driver is log-only;
+                 fully runnable here)
+  finetune_{retrieval,caption,ref,inpainting,vis}
+                 log-only surface stubs, matching the reference's stubs
+
+All runnable phases share ONE Trainer; the differences live entirely in
+config (loss_names, datasets, LR groups, freezing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+from exploremultimodal_tpu.train.trainer import Trainer
+
+PHASES: dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        PHASES[name] = fn
+        return fn
+
+    return deco
+
+
+def _run_trainer(cfg, logger) -> Any:
+    trainer = Trainer(cfg, logger)
+    if cfg.get("throughput_mode"):
+        return {"throughput": trainer.throughput()}
+    if cfg.get("eval_mode"):
+        loader = trainer.data.val_loader()
+        batch = next(iter(trainer.data.train_loader()))
+        state = trainer.init_state(batch)
+        from exploremultimodal_tpu.train import checkpoints as ckpt_lib
+
+        restored = ckpt_lib.auto_load(trainer.output_dir, state, cfg, logger=logger)
+        if restored is not None:
+            state, _ = restored
+        stats = trainer.evaluate(state, loader)
+        logger.info(f"eval: {stats}")
+        return stats
+    return trainer.train()
+
+
+@register("pretrain_mum")
+def pretrain_mum(cfg, logger):
+    return _run_trainer(cfg, logger)
+
+
+@register("pretrain_txt")
+def pretrain_txt(cfg, logger):
+    return _run_trainer(cfg, logger)
+
+
+@register("pretrain_vis")
+def pretrain_vis(cfg, logger):
+    return _run_trainer(cfg, logger)
+
+
+@register("finetune_nlvr2")
+def finetune_nlvr2(cfg, logger):
+    return _run_trainer(cfg, logger)
+
+
+@register("finetune_vqa")
+def finetune_vqa(cfg, logger):
+    result = _run_trainer(cfg, logger)
+    if isinstance(result, dict) and "state" in result and not cfg.get("eval_mode"):
+        try:
+            write_vqa_submission(cfg, logger, result["state"])
+        except Exception as e:
+            logger.warning(f"VQA submission skipped: {e}")
+    return result
+
+
+def write_vqa_submission(cfg, logger, state, out_tag: str = "") -> str | None:
+    """Test-split answer dump (vqa.py:440-477): per-process JSON then a
+    process-0 merge into submit/vqa_submit_*.json."""
+    from exploremultimodal_tpu.data.vqa_vocab import load_or_build_vqa_vocab
+
+    trainer = Trainer(cfg, logger)
+    loader = trainer.data.test_loader()
+    if len(loader) == 0:
+        logger.info("no VQA test split available; skipping submission")
+        return None
+    vocab = load_or_build_vqa_vocab()
+    id2answer = vocab["id2answer"]
+
+    eval_step = trainer.make_eval_step()
+    results = []
+    rng = jax.random.key(0)
+    for batch in trainer.feeder(iter(loader)):
+        rng, sub = jax.random.split(rng)
+        _, _, extra = eval_step(state.params, batch, sub)
+        preds = np.asarray(extra["vqa_logits"]).argmax(-1)
+        qids = np.asarray(batch["qid"])
+        results += [
+            {"question_id": int(q), "answer": id2answer.get(int(p), "")}
+            for q, p in zip(qids, preds)
+        ]
+
+    out_dir = os.path.join(trainer.output_dir, "submit")
+    os.makedirs(out_dir, exist_ok=True)
+    rank = jax.process_index()
+    part = os.path.join(out_dir, f"vqa_submit_{rank}.json")
+    with open(part, "w") as f:
+        json.dump(results, f)
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("vqa_submit")
+    if rank == 0:
+        merged = []
+        import glob as _glob
+
+        for p in sorted(_glob.glob(os.path.join(out_dir, "vqa_submit_*.json"))):
+            with open(p) as f:
+                merged += json.load(f)
+        final = os.path.join(out_dir, f"vqa_submit{out_tag}.json")
+        with open(final, "w") as f:
+            json.dump(merged, f)
+        logger.info(f"wrote VQA submission ({len(merged)} answers) → {final}")
+        return final
+    return part
+
+
+def _stub(name: str):
+    @register(name)
+    def stub(cfg, logger, _name=name):
+        logger.info(
+            f"phase {_name!r} is a surface stub (the reference driver "
+            f"train/finetune/{_name.split('_')[1]}.py is log-only too)"
+        )
+        return {}
+
+    return stub
+
+
+for _name in ("finetune_retrieval", "finetune_caption", "finetune_ref",
+              "finetune_inpainting", "finetune_vis"):
+    _stub(_name)
+
+
+def dispatch(cfg, logger):
+    phase = cfg.train.phase
+    if phase not in PHASES:
+        raise ValueError(f"unknown phase {phase!r}; known: {sorted(PHASES)}")
+    return PHASES[phase](cfg, logger)

@@ -1,0 +1,463 @@
+"""Generic trainer: ONE jitted train step, phases as task plugins.
+
+Replaces the reference's four copy-pasted phase drivers
+(train/pretrain/{multimodal,text,visual}.py, train/finetune/vqa.py) with a
+single Trainer parameterized by config — the consolidation SURVEY.md §1 calls
+for. The hot loop is one jit-compiled function over a GSPMD mesh:
+
+  uint8 batch → fused preprocess → frozen dVAE tokens (MIM) → multitask
+  losses → grads (optionally lax.scan-accumulated) → AdamW update → EMA /
+  queue / ISDA state updates
+
+Parallelism note: under jit+GSPMD the batch is global, so the "naive"
+in-batch ITC similarity ALREADY spans the full global batch — XLA inserts the
+gradient-preserving gather the reference builds by hand (GatherLayer +
+global_reduce). ITM hard negatives likewise sample from the global batch.
+The explicit shard_map collective (parallel/collectives.py) exists for
+kernel-level control and parity tests.
+
+Mixed precision: params/optimizer fp32, activations in cfg.compute_dtype
+(bf16 on TPU — no loss scaler needed, replacing the reference's fp16
+GradScaler/DeepSpeed dynamic loss scale).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from exploremultimodal_tpu.data import DeviceFeeder, MultiTaskData
+from exploremultimodal_tpu.models import build_model, total_loss
+from exploremultimodal_tpu.models.dvae import create_d_vae
+from exploremultimodal_tpu.models.task import VlmoTask
+from exploremultimodal_tpu.ops.preprocess import preprocess_batch
+from exploremultimodal_tpu.parallel import create_mesh
+from exploremultimodal_tpu.parallel.partitioning import (
+    batch_specs,
+    opt_state_specs,
+    param_specs,
+    to_shardings,
+)
+from exploremultimodal_tpu.train import checkpoints as ckpt_lib
+from exploremultimodal_tpu.train.optim import create_optimizer, global_norm
+from exploremultimodal_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    ema_update,
+    queue_update,
+)
+from exploremultimodal_tpu.utils import MetricLogger, create_logger
+from exploremultimodal_tpu.utils.experiment_log import ExperimentLogger
+
+METRIC_KEYS = ("_task_loss", "_Loss", "_mean_acc", "_mean_score", "itc_temp")
+
+
+def _metrics_from_outputs(outputs: dict) -> dict:
+    keep = {}
+    for k, v in outputs.items():
+        if any(k.endswith(s) or k == s.strip("_") for s in METRIC_KEYS):
+            if hasattr(v, "ndim") and v.ndim == 0:
+                keep[k] = v
+    return keep
+
+
+class Trainer:
+    def __init__(self, cfg: Any, logger=None):
+        self.cfg = cfg
+        self.output_dir = cfg.get("exp_dir") or cfg.get("output_dir", "output")
+        self.logger = logger or create_logger(
+            self.output_dir, jax.process_index(), level=cfg.get("log_level", "info")
+        )
+        self.mesh = create_mesh(cfg)
+        self.preset = cfg.parallel.get("name", "dp")
+        self.task: VlmoTask = build_model(cfg)
+
+        self.dvae = None
+        if "mim" in self.task.config.loss_names:
+            self.dvae = create_d_vae(
+                cfg.train.get("discrete_vae_weight_path", ""),
+                self._dvae_type(),
+                cfg.model.img_size // 2,
+            )
+
+        self.data = MultiTaskData(cfg)
+        self.feeder = DeviceFeeder(self.mesh)
+        self.exp_logger = None
+
+    def _dvae_type(self) -> str:
+        kind = self.cfg.train.get("discrete_vae_type", "dall-e")
+        path = self.cfg.train.get("discrete_vae_weight_path", "")
+        if kind == "dall-e" and not os.path.exists(
+            os.path.join(path, "encoder.pkl")
+        ):
+            self.logger.warning(
+                "dVAE weights not found at %r — using a randomly initialized "
+                "tokenizer (MIM targets will be untrained codes)", path
+            )
+            return "random"
+        return kind
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, sample_batch: dict) -> TrainState:
+        cfg = self.cfg
+        model_batch = jax.eval_shape(preprocess_batch, sample_batch)
+        model_batch = {
+            k: jnp.zeros(v.shape, v.dtype) if hasattr(v, "shape") else v
+            for k, v in model_batch.items()
+        }
+        if self.dvae is not None:
+            grid = (cfg.model.img_size // 2) // 8
+            model_batch["mim_labels"] = jnp.zeros(
+                (sample_batch["image_u8"].shape[0], grid * grid), jnp.int32
+            )
+        variables = self.task.init(
+            {"params": jax.random.key(cfg.seed), "sample": jax.random.key(1)},
+            model_batch,
+            method=VlmoTask.init_streams,
+        )
+        params = variables["params"]
+
+        steps_per_epoch = max(len(self.data.train_loader()), 1)
+        self.steps_per_epoch = steps_per_epoch
+        self.optimizer, self.schedule = create_optimizer(cfg, params, steps_per_epoch)
+
+        t = cfg.train
+        state = create_train_state(
+            params,
+            self.optimizer,
+            jax.random.key(cfg.seed + 7),
+            use_ema=cfg.get("vlmo_ema", False),
+            ema_decay=cfg.get("vlmo_ema_decay", 0.995),
+            queue_size=t.get("queue_size", 0) if t.get("neg_queue") else 0,
+            itc_dim=cfg.model.itc_dim,
+            isda_classes=(
+                cfg.data.vqav2_label_size
+                if float(t.get("isda_lambda", 0)) > 0
+                else 0
+            ),
+            isda_dim=2 * cfg.model.embed_dim,
+        )
+        return self.shard_state(state)
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        p_specs = param_specs(state.params, self.preset, self.mesh)
+        o_specs = opt_state_specs(state.opt_state, self.preset, self.mesh)
+        self.state_shardings = TrainState(
+            step=NamedSharding(self.mesh, P()),
+            params=to_shardings(p_specs, self.mesh),
+            opt_state=to_shardings(o_specs, self.mesh),
+            rng=NamedSharding(self.mesh, P()),
+            ema_params=(
+                to_shardings(p_specs, self.mesh)
+                if state.ema_params is not None
+                else None
+            ),
+            ema_decay=state.ema_decay,
+            img_queue=NamedSharding(self.mesh, P())
+            if state.img_queue is not None else None,
+            txt_queue=NamedSharding(self.mesh, P())
+            if state.txt_queue is not None else None,
+            queue_ptr=NamedSharding(self.mesh, P())
+            if state.queue_ptr is not None else None,
+            isda=jax.tree_util.tree_map(
+                lambda _: NamedSharding(self.mesh, P()), state.isda
+            )
+            if state.isda is not None else None,
+        )
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s) if s is not None else x,
+            state,
+            self.state_shardings,
+            is_leaf=lambda x: x is None,
+        )
+
+    # ------------------------------------------------------------- the step
+
+    def _model_batch(self, batch: dict, params=None) -> dict:
+        """Fused preprocessing + frozen-tokenizer MIM labels (inside jit)."""
+        batch = {
+            k: v for k, v in batch.items()
+            if k != "index" and not isinstance(v, list)
+        }
+        model_batch = preprocess_batch(batch, self.task.config.dtype)
+        if self.dvae is not None and "image4dalle" in model_batch:
+            ids = self.dvae.get_codebook_indices(model_batch["image4dalle"])
+            model_batch["mim_labels"] = jax.lax.stop_gradient(ids)
+        return model_batch
+
+    def make_train_step(self):
+        cfg = self.cfg
+        accum = int(cfg.train.get("accumulation_steps", 1))
+        use_ema = cfg.get("vlmo_ema", False)
+        use_queue = bool(cfg.train.get("neg_queue"))
+        isda_lambda = float(cfg.train.get("isda_lambda", 0.0))
+        total_epochs = int(cfg.train.epochs)
+
+        def loss_fn(params, model_batch, rngs, state: TrainState, epoch):
+            momentum_feats = None
+            queue = None
+            if use_ema and state.ema_params is not None:
+                momentum_feats = jax.lax.stop_gradient(
+                    self.task.apply(
+                        {"params": state.ema_params},
+                        model_batch,
+                        method=VlmoTask.itc_momentum_feats,
+                    )
+                )
+                if use_queue:
+                    queue = {"img": state.img_queue, "txt": state.txt_queue}
+            isda_ratio = (
+                isda_lambda * epoch / max(total_epochs, 1) if isda_lambda else 0.0
+            )
+            outputs = self.task.apply(
+                {"params": params},
+                model_batch,
+                deterministic=False,
+                momentum_feats=momentum_feats,
+                queue=queue,
+                isda_state=state.isda,
+                isda_ratio=isda_ratio,
+                rngs=rngs,
+            )
+            return total_loss(outputs), outputs
+
+        def train_step(state: TrainState, batch: dict, epoch: jax.Array):
+            rngs = state.step_rngs("dropout", "droppath", "sample")
+            model_batch = self._model_batch(batch)
+
+            if accum > 1:
+                def micro(i, carry):
+                    grads_acc, loss_acc = carry
+                    mb = jax.tree_util.tree_map(
+                        lambda v: v.reshape((accum, -1) + v.shape[1:])[i],
+                        model_batch,
+                    )
+                    (loss, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                        state.params, mb, rngs, state, epoch
+                    )
+                    return (
+                        jax.tree_util.tree_map(jnp.add, grads_acc, g),
+                        loss_acc + loss,
+                    )
+
+                zero = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros_like(p, jnp.float32), state.params
+                )
+                grads, loss = jax.lax.fori_loop(
+                    0, accum, micro, (zero, jnp.zeros((), jnp.float32))
+                )
+                grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+                loss = loss / accum
+                outputs = {}
+            else:
+                (loss, outputs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, model_batch, rngs, state, epoch)
+
+            updates, new_opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            import optax
+
+            new_params = optax.apply_updates(state.params, updates)
+
+            new_ema = state.ema_params
+            if use_ema and state.ema_params is not None:
+                new_ema = ema_update(state.ema_params, new_params, state.ema_decay)
+
+            img_q, txt_q, ptr = state.img_queue, state.txt_queue, state.queue_ptr
+            if use_queue and outputs and "itc_i_feat" in outputs:
+                img_q, txt_q, ptr = queue_update(
+                    img_q, txt_q, ptr,
+                    jax.lax.stop_gradient(outputs["itc_i_feat"]),
+                    jax.lax.stop_gradient(outputs["itc_t_feat"]),
+                )
+
+            new_isda = outputs.get("isda_state", state.isda) if outputs else state.isda
+
+            metrics = _metrics_from_outputs(outputs) if outputs else {}
+            metrics["total_loss"] = loss
+            metrics["grad_norm"] = global_norm(grads)
+            metrics["lr"] = self.schedule(state.step)
+
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt_state,
+                ema_params=new_ema,
+                img_queue=img_q,
+                txt_queue=txt_q,
+                queue_ptr=ptr,
+                isda=new_isda,
+            )
+            return new_state, metrics
+
+        batch_shardings = None
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def make_eval_step(self):
+        def eval_step(params, batch, rng):
+            model_batch = self._model_batch(batch)
+            outputs = self.task.apply(
+                {"params": params},
+                model_batch,
+                deterministic=True,
+                rngs={"sample": rng},
+            )
+            metrics = _metrics_from_outputs(outputs)
+            metrics["total_loss"] = total_loss(outputs)
+            counts = {
+                k: v for k, v in outputs.items()
+                if k.endswith("_count") and hasattr(v, "ndim") and v.ndim == 0
+            }
+            extra = {
+                k: outputs[k]
+                for k in ("vqa_logits", "nlvr2_logits")
+                if k in outputs
+            }
+            return metrics, counts, extra
+
+        return jax.jit(eval_step)
+
+    # ------------------------------------------------------------ train loop
+
+    def train(self) -> dict:
+        cfg = self.cfg
+        loader = self.data.train_loader()
+        sample = next(iter(loader))
+        state = self.init_state(sample)
+
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+        self.logger.info(
+            f"phase={cfg.train.phase} model={cfg.model.name} "
+            f"params={n_params/1e6:.1f}M mesh={dict(self.mesh.shape)} "
+            f"preset={self.preset} steps/epoch={self.steps_per_epoch}"
+        )
+
+        # auto-resume (utils.py:531-644 semantics)
+        start_epoch = int(cfg.train.get("start_epoch", 0))
+        if cfg.train.get("auto_resume", True):
+            restored = ckpt_lib.auto_load(
+                self.output_dir, state, cfg, logger=self.logger
+            )
+            if restored is not None:
+                state, start_epoch = restored
+
+        self.exp_logger = ExperimentLogger(
+            cfg, self.output_dir,
+            enable=jax.process_index() == 0,
+        )
+        train_step = self.make_train_step()
+
+        best_metric = None
+        minimize = cfg.get("minimize_metric") or "total_loss"
+        history = []
+        for epoch in range(start_epoch, int(cfg.train.epochs)):
+            loader.set_epoch(epoch)
+            state, epoch_stats = self.train_one_epoch(
+                state, loader, train_step, epoch
+            )
+            val_stats = {}
+            try:
+                val_loader = self.data.val_loader()
+                if len(val_loader) > 0:
+                    val_stats = self.evaluate(state, val_loader)
+            except Exception as e:  # no val split configured
+                self.logger.debug(f"skipping eval: {e}")
+
+            metric = val_stats.get(minimize, epoch_stats.get(minimize))
+            is_best = best_metric is None or (
+                metric is not None and metric < best_metric
+            )
+            if is_best and metric is not None:
+                best_metric = metric
+
+            if (epoch + 1) % int(cfg.train.get("save_freq", 1)) == 0:
+                ckpt_lib.save(
+                    self.output_dir, state, cfg, epoch,
+                    is_best=is_best, logger=self.logger,
+                )
+            stats = {"epoch": epoch, **epoch_stats,
+                     **{f"val_{k}": v for k, v in val_stats.items()}}
+            history.append(stats)
+            if jax.process_index() == 0:
+                with open(os.path.join(self.output_dir, "log_stats.json"), "a") as f:
+                    f.write(json.dumps({k: float(v) if isinstance(v, (int, float, np.floating)) else v
+                                        for k, v in stats.items()}) + "\n")
+        self.exp_logger.finish()
+        return {"best_metric": best_metric, "history": history, "state": state}
+
+    def train_one_epoch(self, state, loader, train_step, epoch):
+        cfg = self.cfg
+        meter = MetricLogger(logger=self.logger)
+        epoch_arr = jnp.asarray(epoch, jnp.float32)
+        for batch in meter.log_every(
+            self.feeder(iter(loader)),
+            int(cfg.train.get("print_freq", 300)),
+            header=f"Epoch [{epoch}]",
+        ):
+            state, metrics = train_step(state, batch, epoch_arr)
+            meter.update(**{k: v for k, v in metrics.items()})
+            if self.exp_logger and int(state.step) % 50 == 0:
+                self.exp_logger.log(
+                    head="train", step=int(state.step),
+                    **{k: float(np.asarray(v)) for k, v in metrics.items()},
+                )
+        meter.synchronize_between_processes()
+        return state, {k: m.global_avg for k, m in meter.meters.items()}
+
+    # ------------------------------------------------------------------ eval
+
+    def evaluate(self, state, loader) -> dict:
+        eval_step = self.make_eval_step()
+        sums: dict[str, float] = {}
+        weights: dict[str, float] = {}
+        rng = jax.random.key(0)
+        for i, batch in enumerate(self.feeder(iter(loader))):
+            rng, sub = jax.random.split(rng)
+            metrics, counts, _ = eval_step(state.params, batch, sub)
+            for k, v in metrics.items():
+                count_key = k.replace("_mean_acc", "_count").replace(
+                    "_mean_score", "_count"
+                )
+                w = float(np.asarray(counts.get(count_key, 1.0)))
+                sums[k] = sums.get(k, 0.0) + float(np.asarray(v)) * w
+                weights[k] = weights.get(k, 0.0) + w
+        return {k: sums[k] / max(weights[k], 1e-9) for k in sums}
+
+    # ------------------------------------------------------- throughput mode
+
+    def throughput(self, n_warmup: int = 10, n_iters: int = 50) -> float:
+        """samples/sec of the full train step (reference throughput_mode,
+        multimodal.py:458-482, measured with device sync instead of CUDA
+        events)."""
+        loader = self.data.train_loader()
+        batch = self.feeder(iter(loader)).__next__()
+        state = self.init_state(batch)
+        train_step = self.make_train_step()
+        epoch_arr = jnp.asarray(0, jnp.float32)
+
+        for _ in range(n_warmup):
+            state, m = train_step(state, batch, epoch_arr)
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, m = train_step(state, batch, epoch_arr)
+        jax.block_until_ready(m)
+        dt = time.perf_counter() - t0
+        bs = self.cfg.data.batch_size
+        sps = n_iters * bs / dt
+        self.logger.info(
+            f"throughput: {sps:.1f} samples/s ({dt/n_iters*1000:.1f} ms/step, "
+            f"batch {bs})"
+        )
+        return sps

@@ -1,0 +1,124 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from exploremultimodal_tpu.config import load_config
+from exploremultimodal_tpu.train.optim import (
+    build_schedule,
+    create_optimizer,
+    fixed_attn_predicate,
+    lr_multipliers,
+    no_decay_mask,
+)
+
+
+def fake_params():
+    return {
+        "transformer": {
+            "pos_embed": jnp.zeros((1, 5, 8)),
+            "img_cls_token": jnp.zeros((1, 1, 8)),
+            "blocks_0": {
+                "attn": {"qkv": {"kernel": jnp.zeros((8, 24))},
+                         "q_bias": jnp.zeros((8,))},
+                "norm1": {"scale": jnp.ones((8,)), "bias": jnp.zeros((8,))},
+                "gamma_1": jnp.ones((8,)),
+                "mlp_l": {"fc1": {"kernel": jnp.zeros((8, 32)),
+                                  "bias": jnp.zeros((32,))}},
+            },
+            "blocks_1": {
+                "mlp_v": {"fc1": {"kernel": jnp.zeros((8, 32))}},
+            },
+            "norm": {"scale": jnp.ones((8,))},
+            "pooler": {"dense": {"kernel": jnp.zeros((8, 8))}},
+        },
+        "mlm_head": {"transform_dense": {"kernel": jnp.zeros((8, 8))}},
+        "itc_temp": jnp.zeros(()),
+    }
+
+
+def test_linear_schedule_warmup_and_decay():
+    cfg = load_config(["train=pretrain_mum"]).train
+    cfg.warmup_steps = 10
+    cfg.epochs = 10
+    sched = build_schedule(cfg, steps_per_epoch=100)
+    base = cfg.base_lr
+    np.testing.assert_allclose(float(sched(0)), float(cfg.warmup_lr), rtol=1e-3)
+    np.testing.assert_allclose(float(sched(10)), base, rtol=1e-5)
+    # linear decay to 1% at the end (LinearLRScheduler lr_min_rate=0.01)
+    np.testing.assert_allclose(float(sched(1000)), base * 0.01, rtol=1e-2)
+    assert float(sched(500)) < base
+
+
+def test_lr_multipliers_groups():
+    params = fake_params()
+    mults = lr_multipliers(params, fusion_layer=1, depth=2,
+                           lr_mult_head=50, lr_mult_fusion=5)
+    assert mults["mlm_head"]["transform_dense"]["kernel"] == 50
+    assert mults["transformer"]["blocks_1"]["mlp_v"]["fc1"]["kernel"] == 5
+    assert mults["transformer"]["pooler"]["dense"]["kernel"] == 5
+    assert mults["transformer"]["blocks_0"]["attn"]["qkv"]["kernel"] == 1
+    assert mults["transformer"]["pos_embed"] == 1
+
+
+def test_no_decay_mask_semantics():
+    params = fake_params()
+    mask = no_decay_mask(params)
+    assert mask["transformer"]["blocks_0"]["attn"]["qkv"]["kernel"] is True
+    # 1-D, biases, skip set → no decay
+    assert mask["transformer"]["blocks_0"]["norm1"]["scale"] is False
+    assert mask["transformer"]["blocks_0"]["mlp_l"]["fc1"]["bias"] is False
+    assert mask["transformer"]["pos_embed"] is False
+    assert mask["transformer"]["img_cls_token"] is False
+    assert mask["itc_temp"] is False
+
+
+def test_fixed_attn_freeze_predicate():
+    assert fixed_attn_predicate("transformer/blocks_0/attn/qkv/kernel")
+    assert fixed_attn_predicate("transformer/blocks_3/norm2/scale")
+    assert fixed_attn_predicate("transformer/blocks_1/gamma_1")
+    assert fixed_attn_predicate("transformer/norm/scale")
+    assert not fixed_attn_predicate("transformer/blocks_0/mlp_l/fc1/kernel")
+    assert not fixed_attn_predicate("transformer/txt_embeddings/word_embeddings/embedding")
+    assert not fixed_attn_predicate("mlm_head/bias")
+
+
+def test_optimizer_applies_multiplier_and_freezing():
+    cfg = load_config(["train=pretrain_txt", "model=vlmo_debug"])
+    cfg.train.fixed_attn = True
+    cfg.train.clip_grad = 0  # isolate the multiplier path
+    params = fake_params()
+    opt, sched = create_optimizer(cfg, params, steps_per_epoch=10)
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    # frozen attention gets exactly zero update
+    np.testing.assert_array_equal(
+        np.asarray(updates["transformer"]["blocks_0"]["attn"]["qkv"]["kernel"]),
+        0.0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(updates["transformer"]["norm"]["scale"]), 0.0
+    )
+    # unfrozen expert moves
+    assert np.abs(
+        np.asarray(updates["transformer"]["blocks_0"]["mlp_l"]["fc1"]["kernel"])
+    ).max() > 0
+
+
+def test_head_multiplier_scales_update():
+    cfg = load_config(["train=finetune_vqa", "model=vlmo_debug"])
+    cfg.train.clip_grad = 0
+    cfg.train.warmup_steps = 0
+    cfg.train.warmup_epochs = 0
+    params = {
+        "transformer": {"blocks_0": {"attn": {"qkv": {"kernel": jnp.zeros((4, 4))}}}},
+        "vqa_classifier": {"fc2": {"kernel": jnp.zeros((4, 4))}},
+    }
+    opt, _ = create_optimizer(cfg, params, steps_per_epoch=10)
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    bottom = np.asarray(updates["transformer"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    head = np.asarray(updates["vqa_classifier"]["fc2"]["kernel"])
+    np.testing.assert_allclose(head, bottom * 50, rtol=1e-5)  # lr_mult_head=50

@@ -1,0 +1,185 @@
+"""End-to-end: train steps on synthetic data, loss decreases, checkpoint
+round-trips, torch import remaps (SURVEY.md §4 integration strategy)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exploremultimodal_tpu.config import load_config
+
+TINY_OVERRIDES = [
+    "model=vlmo_debug",
+    "train.datasets=[synthetic]",
+    "data.batch_size=8",
+    "data.synthetic_size=16",
+    "data.num_workers=2",
+    "model.img_size=32",
+    "model.embed_dim=32",
+    "model.num_heads=2",
+    "model.max_text_len=12",
+    "model.drop_rate=0.0",
+    "model.attn_drop_rate=0.0",
+    "model.drop_path_rate=0.0",
+    "data.num_mask_patches=2",
+    "data.min_mask_patches_per_block=1",
+    "train.warmup_steps=1",
+    "train.epochs=2",
+    "compute_dtype=float32",
+    "attn_impl=xla",
+]
+
+
+def make_trainer(tmp_path, extra=()):
+    from exploremultimodal_tpu.train.trainer import Trainer
+
+    cfg = load_config(TINY_OVERRIDES + [f"exp_dir={tmp_path}"] + list(extra))
+    return Trainer(cfg), cfg
+
+
+def test_pretrain_txt_loss_decreases(tmp_path):
+    trainer, cfg = make_trainer(tmp_path / "txt", ["train=pretrain_txt"])
+    loader = trainer.data.train_loader()
+    state = trainer.init_state(next(iter(loader)))
+    train_step = trainer.make_train_step()
+
+    batch = next(iter(trainer.feeder(iter(loader))))
+    losses = []
+    for _ in range(6):
+        state, metrics = train_step(state, batch, jnp.asarray(0.0))
+        losses.append(float(metrics["total_loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses  # overfits one tiny batch
+    assert int(state.step) == 6
+
+
+def test_pretrain_mum_all_losses_step(tmp_path):
+    trainer, cfg = make_trainer(
+        tmp_path / "mum",
+        ["train=pretrain_mum", "train.discrete_vae_type=random"],
+    )
+    loader = trainer.data.train_loader()
+    state = trainer.init_state(next(iter(loader)))
+    train_step = trainer.make_train_step()
+    batch = next(iter(trainer.feeder(iter(loader))))
+    state, metrics = train_step(state, batch, jnp.asarray(0.0))
+    for k in ("mlm_task_loss", "itc_task_loss", "itm_task_loss", "mim_task_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_checkpoint_roundtrip_and_policy(tmp_path):
+    from exploremultimodal_tpu.train import checkpoints as ckpt_lib
+
+    trainer, cfg = make_trainer(tmp_path / "ck", ["train=pretrain_txt"])
+    loader = trainer.data.train_loader()
+    state = trainer.init_state(next(iter(loader)))
+    train_step = trainer.make_train_step()
+    batch = next(iter(trainer.feeder(iter(loader))))
+    state, _ = train_step(state, batch, jnp.asarray(0.0))
+
+    out = str(tmp_path / "ck")
+    ckpt_lib.save(out, state, cfg, epoch=0, is_best=True)
+    state2, _ = train_step(state, batch, jnp.asarray(0.0))
+    ckpt_lib.save(out, state2, cfg, epoch=1)
+
+    # retention keeps best(0) + latest(1)
+    names = sorted(os.path.basename(p) for _, p in ckpt_lib._scan(out))
+    assert names == ["checkpoint-0", "checkpoint-1"]
+
+    # full resume: same phase+tag → identical params + step
+    fresh = trainer.init_state(batch)
+    restored, next_epoch = ckpt_lib.auto_load(out, fresh, cfg)
+    assert next_epoch == 2
+    assert int(restored.step) == int(state2.step)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # phase mismatch → params only, optimizer reset, epoch from config
+    cfg2 = load_config(
+        TINY_OVERRIDES + ["train=pretrain_txt", f"exp_dir={tmp_path/'ck'}",
+                          "tag=other"]
+    )
+    restored2, next_epoch2 = ckpt_lib.auto_load(out, fresh, cfg2)
+    assert next_epoch2 == 0
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored2.params)[0]),
+        np.asarray(jax.tree.leaves(state2.params)[0]),
+    )
+
+
+def test_torch_import_beit_and_vlmo(tmp_path):
+    """Key remapping: BEiT '.mlp.' → vision expert; cls/mask token renames;
+    pos-embed grid interpolation (vlmo_module.py:187-319)."""
+    import torch
+
+    from exploremultimodal_tpu.models.import_torch import import_torch_state
+    from exploremultimodal_tpu.models.task import VlmoConfig, VlmoTask
+
+    cfg = VlmoConfig(
+        img_size=32, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+        max_text_len=12, vocab_size=64, fusion_layer=1, init_values=0.1,
+        drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+        loss_names=("mim",), phase=None, img_vocab_size=24,
+    )
+    task = VlmoTask(cfg)
+    batch = {
+        "image": jnp.zeros((1, 32, 32, 3)),
+        "text_ids": jnp.zeros((1, 12), jnp.int32),
+        "text_mask": jnp.ones((1, 12), jnp.int32),
+        "image_bool_masked_pos": jnp.zeros((1, 4), jnp.int32),
+        "mim_labels": jnp.zeros((1, 4), jnp.int32),
+    }
+    variables = task.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        batch, method=VlmoTask.init_streams,
+    )
+    params = variables["params"]
+
+    # BEiT-style checkpoint: larger pos-embed grid (8×8+1) to force interp
+    rng = np.random.default_rng(0)
+    beit_sd = {
+        "cls_token": torch.tensor(rng.normal(size=(1, 1, 32)).astype(np.float32)),
+        "mask_token": torch.tensor(rng.normal(size=(1, 1, 32)).astype(np.float32)),
+        "pos_embed": torch.tensor(rng.normal(size=(1, 65, 32)).astype(np.float32)),
+        "patch_embed.proj.weight": torch.tensor(
+            rng.normal(size=(32, 3, 16, 16)).astype(np.float32)),
+        "patch_embed.proj.bias": torch.tensor(
+            rng.normal(size=(32,)).astype(np.float32)),
+        "blocks.0.mlp.fc1.weight": torch.tensor(
+            rng.normal(size=(128, 32)).astype(np.float32)),
+        "blocks.0.mlp.fc1.bias": torch.tensor(
+            rng.normal(size=(128,)).astype(np.float32)),
+        "blocks.0.attn.qkv.weight": torch.tensor(
+            rng.normal(size=(96, 32)).astype(np.float32)),
+        "lm_head.weight": torch.tensor(rng.normal(size=(24, 32)).astype(np.float32)),
+        "lm_head.bias": torch.tensor(rng.normal(size=(24,)).astype(np.float32)),
+    }
+    new_params, loaded, missing = import_torch_state(
+        beit_sd, params, max_text_len=12
+    )
+    assert len(loaded) >= 8
+    # cls_token → img_cls_token
+    np.testing.assert_allclose(
+        np.asarray(new_params["transformer"]["img_cls_token"]),
+        beit_sd["cls_token"].numpy(), rtol=1e-6,
+    )
+    # BEiT mlp → vision expert, transposed
+    np.testing.assert_allclose(
+        np.asarray(new_params["transformer"]["blocks_0"]["mlp_v"]["fc1"]["kernel"]),
+        beit_sd["blocks.0.mlp.fc1.weight"].numpy().T, rtol=1e-6,
+    )
+    # lm_head → mim fc
+    np.testing.assert_allclose(
+        np.asarray(new_params["mim_head"]["fc"]["kernel"]),
+        beit_sd["lm_head.weight"].numpy().T, rtol=1e-6,
+    )
+    # pos-embed interpolated 65 → 5 rows (2×2 grid + cls)
+    assert new_params["transformer"]["pos_embed"].shape == (1, 5, 32)
+    # untouched params kept at init
+    np.testing.assert_allclose(
+        np.asarray(new_params["transformer"]["norm"]["scale"]),
+        np.asarray(params["transformer"]["norm"]["scale"]),
+    )
