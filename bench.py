@@ -1,15 +1,21 @@
-"""Headline benchmark: fused dVAE tokenization + VLMo-Base pretrain step.
+"""Benchmarks for the five BASELINE.json configs.
 
-Measures images/sec/chip for the full jitted multitask training step
-(BASELINE.json metric): on-device uint8 preprocess → frozen DALL-E dVAE
-tokenization (112×112 → 14×14 codes) → VLMo-Base MLM+ITC+ITM+MIM forwards →
-backward → AdamW update. Prints ONE JSON line.
+Default (driver contract): the flagship VLMo-Base multitask pretrain step —
+prints ONE JSON line:
 
-vs_baseline: ratio against an estimated A100 reference throughput for the
-same step (the reference publishes no numbers — BASELINE.md). The estimate
-(150 img/s/chip) assumes the reference's fp16 torch stack at ~40% MFU on
-A100's 312 TFLOP/s over the ~5 backbone forwards + dVAE conv encoder this
-step performs; see BENCH.md for the derivation.
+  {"metric": "...", "value": N, "unit": "images/s/chip", "vs_baseline": N}
+
+`BENCH_MODE` selects other configs (BASELINE.json "configs"):
+  vlmo_pretrain  full jitted pretrain step: on-device preprocess + frozen
+                 dVAE tokenize + MLM+ITC+ITM+MIM + backward + AdamW  [default]
+  dvae           DALL-E dVAE encoder tokenization, 256×256 → 32×32 codes
+  bert_mlm       text-only MLM forward, seq len 196
+  beit_mim       ViT-B/16 vision-only masked-image-modeling step (dVAE targets)
+  vqa            VQAv2 finetune step (3129-way head)
+  all            run everything, write BENCHMARKS.json, print the flagship line
+
+vs_baseline: ratio against estimated A100 throughput for the same op (the
+reference publishes no numbers — see BENCH.md for the derivations).
 """
 
 from __future__ import annotations
@@ -22,23 +28,97 @@ import time
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
-A100_BASELINE_IPS = 150.0
+# estimated A100 reference throughputs (img/s or samples/s per chip); BENCH.md
+A100_BASELINE = {
+    "vlmo_pretrain": 150.0,
+    "dvae": 1100.0,      # 256² dVAE encoder fwd, fp16 torch
+    "bert_mlm": 2400.0,  # BERT-base fwd seq 196
+    "beit_mim": 700.0,   # ViT-B/16 MIM train step
+    "vqa": 480.0,        # VLMo-Base VQA train step (1 fused fwd + bwd)
+}
 
 
-def main() -> None:
+def _setup_cache() -> None:
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("EMM_JAX_CACHE", "/tmp/emm_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _timeit(step, n_warmup: int, n_iters: int) -> float:
+    import jax
+
+    out = None
+    for _ in range(n_warmup):
+        out = step()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = step()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_iters
+
+
+def _trainer(overrides: list[str]):
     from exploremultimodal_tpu.config import load_config
     from exploremultimodal_tpu.train.trainer import Trainer
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
-    n_warmup = int(os.environ.get("BENCH_WARMUP", "3"))
-    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
-    model = os.environ.get("BENCH_MODEL", "vlmo_base")
+    cfg = load_config(overrides)
+    trainer = Trainer(cfg)
+    loader = trainer.data.train_loader()
+    batch = next(iter(trainer.feeder(iter(loader))))
+    state = trainer.init_state(batch)
+    return trainer, state, batch
 
-    cfg = load_config(
+
+def _train_step_bench(
+    metric: str,
+    baseline_key: str,
+    overrides: list[str],
+    batch_size: int,
+    n_warmup: int,
+    n_iters: int,
+) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    trainer, state, batch = _trainer(overrides)
+    train_step = trainer.make_train_step()
+    epoch = jnp.asarray(0.0)
+    holder = {"state": state, "metrics": None}
+
+    def step():
+        holder["state"], holder["metrics"] = train_step(
+            holder["state"], batch, epoch
+        )
+        return holder["metrics"]["total_loss"]
+
+    dt = _timeit(step, n_warmup, n_iters)
+    n_chips = jax.device_count()
+    ips = batch_size / dt / n_chips
+    return {
+        "metric": metric,
+        "value": round(ips, 2),
+        "unit": "images/s/chip",
+        "vs_baseline": round(ips / A100_BASELINE[baseline_key], 3),
+        "detail": {
+            "batch_size": batch_size,
+            "step_ms": round(dt * 1000, 1),
+            "chips": n_chips,
+            "platform": jax.devices()[0].platform,
+            "total_loss": round(float(holder["metrics"]["total_loss"]), 3),
+        },
+    }
+
+
+def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
+                        model: str) -> dict:
+    result = _train_step_bench(
+        "vlmo_base_pretrain_step_images_per_sec_per_chip",
+        "vlmo_pretrain",
         [
             f"model={model}",
             "train=pretrain_mum",
@@ -48,46 +128,170 @@ def main() -> None:
             "data.num_workers=4",
             "train.discrete_vae_type=random",
             "compute_dtype=bfloat16",
-            "attn_impl=pallas",
             "train.warmup_steps=2",
             "exp_dir=/tmp/emm_bench",
             "log_level=error",
-        ]
+        ],
+        batch_size, n_warmup, n_iters,
     )
-    trainer = Trainer(cfg)
-    loader = trainer.data.train_loader()
-    batch = next(iter(trainer.feeder(iter(loader))))
-    state = trainer.init_state(batch)
-    train_step = trainer.make_train_step()
-    epoch = jnp.asarray(0.0)
+    result["detail"]["losses"] = "mlm+itc+itm+mim (incl. dVAE tokenize)"
+    return result
 
-    for _ in range(n_warmup):
-        state, metrics = train_step(state, batch, epoch)
-    jax.block_until_ready(metrics)
 
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, metrics = train_step(state, batch, epoch)
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
+def bench_beit_mim(batch_size: int, n_warmup: int, n_iters: int) -> dict:
+    return _train_step_bench(
+        "beit_vitb16_mim_step_images_per_sec_per_chip",
+        "beit_mim",
+        [
+            "model=vlmo_base",
+            "train=pretrain_vis",
+            "train.datasets=[synthetic]",
+            f"data.batch_size={batch_size}",
+            f"data.synthetic_size={4 * batch_size}",
+            "data.num_workers=4",
+            "train.discrete_vae_type=random",
+            "compute_dtype=bfloat16",
+            "train.warmup_steps=2",
+            "exp_dir=/tmp/emm_bench_mim",
+            "log_level=error",
+        ],
+        batch_size, n_warmup, n_iters,
+    )
 
+
+def bench_vqa(batch_size: int, n_warmup: int, n_iters: int) -> dict:
+    return _train_step_bench(
+        "vlmo_base_vqa_finetune_step_images_per_sec_per_chip",
+        "vqa",
+        [
+            "model=vlmo_base",
+            "train=finetune_vqa",
+            "train.datasets=[synthetic]",
+            f"data.batch_size={batch_size}",
+            f"data.synthetic_size={4 * batch_size}",
+            "data.num_workers=4",
+            "compute_dtype=bfloat16",
+            "train.warmup_steps=2",
+            "exp_dir=/tmp/emm_bench_vqa",
+            "log_level=error",
+        ],
+        batch_size, n_warmup, n_iters,
+    )
+
+
+def bench_dvae(batch_size: int, n_warmup: int, n_iters: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from exploremultimodal_tpu.models.dvae import DalleVAE, map_pixels
+
+    vae = DalleVAE(256)
+    vae.init_random(jax.random.key(0))
+    img = jnp.asarray(
+        np.random.default_rng(0).random((batch_size, 256, 256, 3)), jnp.float32
+    )
+    tokenize = jax.jit(lambda x: vae.get_codebook_indices(map_pixels(x)))
+
+    dt = _timeit(lambda: tokenize(img), n_warmup, n_iters)
     n_chips = jax.device_count()
-    ips_per_chip = n_iters * batch_size / dt / n_chips
-    result = {
-        "metric": "vlmo_base_pretrain_step_images_per_sec_per_chip",
-        "value": round(ips_per_chip, 2),
+    ips = batch_size / dt / n_chips
+    ids = tokenize(img)
+    assert ids.shape == (batch_size, 32 * 32)
+    return {
+        "metric": "dvae_tokenize_256_images_per_sec_per_chip",
+        "value": round(ips, 2),
         "unit": "images/s/chip",
-        "vs_baseline": round(ips_per_chip / A100_BASELINE_IPS, 3),
-        "detail": {
-            "batch_size": batch_size,
-            "step_ms": round(dt / n_iters * 1000, 1),
-            "chips": n_chips,
-            "platform": jax.devices()[0].platform,
-            "losses": "mlm+itc+itm+mim (incl. dVAE tokenize)",
-            "total_loss": round(float(metrics["total_loss"]), 3),
-        },
+        "vs_baseline": round(ips / A100_BASELINE["dvae"], 3),
+        "detail": {"batch_size": batch_size, "step_ms": round(dt * 1000, 2),
+                   "tokens": "32x32"},
     }
-    print(json.dumps(result))
+
+
+def bench_bert_mlm(batch_size: int, n_warmup: int, n_iters: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from exploremultimodal_tpu.config import load_config
+    from exploremultimodal_tpu.models import build_model
+    from exploremultimodal_tpu.models.task import VlmoTask
+
+    cfg = load_config(
+        ["model=vlmo_base", "train=pretrain_txt", "model.max_text_len=196",
+         "compute_dtype=bfloat16", "model.drop_rate=0.0",
+         "model.attn_drop_rate=0.0", "model.drop_path_rate=0.0"]
+    )
+    task = build_model(cfg)
+    rng = np.random.default_rng(0)
+    L = 196
+    batch = {
+        "image": jnp.zeros((1, 224, 224, 3)),
+        "text_ids": jnp.asarray(rng.integers(0, 30522, (batch_size, L))),
+        "text_ids_mlm": jnp.asarray(rng.integers(0, 30522, (batch_size, L))),
+        "text_labels_mlm": jnp.asarray(
+            np.where(rng.random((batch_size, L)) < 0.15,
+                     rng.integers(0, 30522, (batch_size, L)), -100)
+        ),
+        "text_mask": jnp.ones((batch_size, L), jnp.int32),
+    }
+    init_batch = dict(batch)
+    init_batch["image"] = jnp.zeros((batch_size, 224, 224, 3))
+    variables = task.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        init_batch, method=VlmoTask.init_streams,
+    )
+    fwd_batch = {k: v for k, v in batch.items() if k != "image"}
+    fwd_batch["image"] = None
+
+    @jax.jit
+    def fwd(params):
+        out = task.apply({"params": params}, fwd_batch,
+                         rngs={"sample": jax.random.key(2)})
+        return out["mlm_task_loss"]
+
+    dt = _timeit(lambda: fwd(variables["params"]), n_warmup, n_iters)
+    n_chips = jax.device_count()
+    sps = batch_size / dt / n_chips
+    return {
+        "metric": "bert_base_mlm_fwd_seq196_samples_per_sec_per_chip",
+        "value": round(sps, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(sps / A100_BASELINE["bert_mlm"], 3),
+        "detail": {"batch_size": batch_size, "step_ms": round(dt * 1000, 2)},
+    }
+
+
+def main() -> None:
+    _setup_cache()
+    mode = os.environ.get("BENCH_MODE", "vlmo_pretrain")
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    n_warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+    model = os.environ.get("BENCH_MODEL", "vlmo_base")
+
+    runners = {
+        "vlmo_pretrain": lambda: bench_vlmo_pretrain(batch_size, n_warmup,
+                                                     n_iters, model),
+        "dvae": lambda: bench_dvae(batch_size, n_warmup, n_iters),
+        "bert_mlm": lambda: bench_bert_mlm(batch_size, n_warmup, n_iters),
+        "beit_mim": lambda: bench_beit_mim(batch_size, n_warmup, n_iters),
+        "vqa": lambda: bench_vqa(batch_size, n_warmup, n_iters),
+    }
+
+    if mode == "all":
+        results = {}
+        for name, fn in runners.items():
+            try:
+                results[name] = fn()
+            except Exception as e:  # keep going; record the failure
+                results[name] = {"error": f"{type(e).__name__}: {e}"}
+        with open("BENCHMARKS.json", "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps(results.get("vlmo_pretrain", {})))
+        return
+
+    print(json.dumps(runners[mode]()))
 
 
 if __name__ == "__main__":

@@ -152,14 +152,19 @@ class DeviceFeeder:
         if self.mesh is None:
             staged = jax.device_put(arrays)
         else:
-            shardings = {
-                k: NamedSharding(
-                    self.mesh, P(self.data_axis, *([None] * (v.ndim - 1)))
-                )
-                for k, v in arrays.items()
-            }
+            data_size = self.mesh.shape[self.data_axis]
+
+            def sharding(v):
+                # batches not divisible by the data axis (small eval tails)
+                # replicate instead of sharding
+                if v.ndim >= 1 and v.shape[0] % data_size == 0:
+                    return NamedSharding(
+                        self.mesh, P(self.data_axis, *([None] * (v.ndim - 1)))
+                    )
+                return NamedSharding(self.mesh, P())
+
             staged = {
-                k: jax.device_put(v, shardings[k]) for k, v in arrays.items()
+                k: jax.device_put(v, sharding(v)) for k, v in arrays.items()
             }
         staged.update(rest)
         return staged

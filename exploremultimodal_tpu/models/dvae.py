@@ -372,12 +372,18 @@ class _ResBlock(nn.Module):
         return h + x
 
 
-def create_d_vae(weight_path: str, d_vae_type: str, image_size: int):
-    """Tokenizer factory (objectives.py:595-628)."""
+def create_d_vae(weight_path: str, d_vae_type: str, image_size: int,
+                 dtype: Any = jnp.float32):
+    """Tokenizer factory (objectives.py:595-628). dtype=bfloat16 halves the
+    conv-stack HBM traffic for the training path; the token-parity benchmark
+    path must use float32 (argmax tie-breaks)."""
     if d_vae_type == "dall-e":
-        return load_dalle_vae(weight_path, image_size)
+        vae = load_dalle_vae(weight_path, image_size)
+        vae.encoder = vae.encoder.clone(dtype=dtype)
+        vae.decoder = vae.decoder.clone(dtype=dtype)
+        return vae
     if d_vae_type == "random":  # untrained tokenizer for tests/smoke runs
-        vae = DalleVAE(image_size)
+        vae = DalleVAE(image_size, dtype=dtype)
         vae.init_random(jax.random.key(0))
         return vae
     raise NotImplementedError(d_vae_type)

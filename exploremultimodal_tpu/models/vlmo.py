@@ -389,7 +389,7 @@ class VLMO(nn.Module):
     ) -> jax.Array:
         bias = key_padding_bias(mask)
         for blk in self.blocks[in_layer:out_layer]:
-            x = blk(x, bias, route=route, deterministic=deterministic)
+            x = blk(x, bias, route, deterministic)
         return x
 
     def forward_interval(
@@ -460,14 +460,14 @@ class VLMO(nn.Module):
         img_bias = key_padding_bias(img_mask)
         txt_bias = key_padding_bias(txt_mask)
         for blk in self.blocks[:fusion]:
-            img_x = blk(img_x, img_bias, route="v", deterministic=deterministic)
-            txt_x = blk(txt_x, txt_bias, route="l", deterministic=deterministic)
+            img_x = blk(img_x, img_bias, "v", deterministic)
+            txt_x = blk(txt_x, txt_bias, "l", deterministic)
 
         co = jnp.concatenate([txt_x, img_x], axis=1)
         co_mask = jnp.concatenate([txt_mask, img_mask], axis=1)
         co_bias = key_padding_bias(co_mask)
         for blk in self.blocks[fusion:]:
-            co = blk(co, co_bias, route="vl", deterministic=deterministic)
+            co = blk(co, co_bias, "vl", deterministic)
         return self.norm(co).astype(self.dtype), co_mask
 
     def pool(self, co_feats: jax.Array) -> jax.Array:

@@ -48,7 +48,6 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -57,7 +56,53 @@ def flash_attention(
     bias: jax.Array | None = None,
     scale: float,
 ) -> jax.Array:
-    """q, k, v: (B, H, N, D); bias: (B, 1, 1, N) additive or None."""
+    """Differentiable fused attention: Pallas forward kernel + recompute
+    backward (the standard flash-attention trade: no stored probabilities;
+    the backward re-derives them — here via the XLA chain, which XLA fuses)."""
+    if bias is None:
+        bias = jnp.zeros((q.shape[0], 1, 1, q.shape[2]), jnp.float32)
+    return _flash_attention_vjp(q, k, v, bias, scale)
+
+
+def _xla_reference(q, k, v, bias, scale):
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_attention_vjp(q, k, v, bias, scale):
+    return _flash_attention_fwd_kernel(q, k, v, bias, scale)
+
+
+def _flash_fwd(q, k, v, bias, scale):
+    out = _flash_attention_fwd_kernel(q, k, v, bias, scale)
+    return out, (q, k, v, bias)
+
+
+def _flash_bwd(scale, residuals, g):
+    q, k, v, bias = residuals
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, bias, scale),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_attention_vjp.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _flash_attention_fwd_kernel(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    scale: float,
+) -> jax.Array:
+    """q, k, v: (B, H, N, D); bias: (B, 1, 1, N) additive."""
     B, H, N, D = q.shape
     n_pad = _round_up(N, BLOCK_Q)
 

@@ -86,6 +86,7 @@ class Trainer:
                 cfg.train.get("discrete_vae_weight_path", ""),
                 self._dvae_type(),
                 cfg.model.img_size // 2,
+                dtype=self.task.config.dtype,
             )
 
         self.data = MultiTaskData(cfg)
@@ -397,21 +398,30 @@ class Trainer:
         return {"best_metric": best_metric, "history": history, "state": state}
 
     def train_one_epoch(self, state, loader, train_step, epoch):
+        from exploremultimodal_tpu.utils.profiling import check_finite_and_dump
+
         cfg = self.cfg
         meter = MetricLogger(logger=self.logger)
         epoch_arr = jnp.asarray(epoch, jnp.float32)
+        print_freq = int(cfg.train.get("print_freq", 300))
+        i = 0
         for batch in meter.log_every(
-            self.feeder(iter(loader)),
-            int(cfg.train.get("print_freq", 300)),
-            header=f"Epoch [{epoch}]",
+            self.feeder(iter(loader)), print_freq, header=f"Epoch [{epoch}]"
         ):
             state, metrics = train_step(state, batch, epoch_arr)
             meter.update(**{k: v for k, v in metrics.items()})
-            if self.exp_logger and int(state.step) % 50 == 0:
+            # host syncs happen only at logging cadence; the in-graph
+            # per-loss isfinite filter handles transient components
+            if i % print_freq == 0:
+                check_finite_and_dump(
+                    metrics, int(state.step), self.output_dir, self.logger
+                )
+            if self.exp_logger and i % 50 == 0:
                 self.exp_logger.log(
                     head="train", step=int(state.step),
                     **{k: float(np.asarray(v)) for k, v in metrics.items()},
                 )
+            i += 1
         meter.synchronize_between_processes()
         return state, {k: m.global_avg for k, m in meter.meters.items()}
 

@@ -1,0 +1,104 @@
+"""Momentum-encoder + negative-queue ITC path (ALBEF-style,
+objectives.py:110-164) and the EMA/queue state plumbing end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exploremultimodal_tpu.config import load_config
+from exploremultimodal_tpu.train.state import ema_update, queue_update
+from exploremultimodal_tpu.utils.profiling import (
+    NonFiniteLossError,
+    check_finite_and_dump,
+)
+
+TINY = [
+    "model=vlmo_debug",
+    "train=pretrain_mum",
+    "train.loss_names=[itc]",
+    "train.datasets=[synthetic]",
+    "data.batch_size=8",
+    "data.synthetic_size=16",
+    "data.num_workers=2",
+    "model.img_size=32",
+    "model.embed_dim=32",
+    "model.num_heads=2",
+    "model.max_text_len=12",
+    "model.itc_dim=16",
+    "model.drop_rate=0.0",
+    "model.attn_drop_rate=0.0",
+    "model.drop_path_rate=0.0",
+    "data.num_mask_patches=2",
+    "data.min_mask_patches_per_block=1",
+    "train.warmup_steps=1",
+    "compute_dtype=float32",
+    "vlmo_ema=true",
+    "train.neg_queue=true",
+    "train.queue_size=64",
+]
+
+
+def test_momentum_queue_itc_train_step(tmp_path):
+    from exploremultimodal_tpu.train.trainer import Trainer
+
+    cfg = load_config(TINY + [f"exp_dir={tmp_path}"])
+    trainer = Trainer(cfg)
+    loader = trainer.data.train_loader()
+    state = trainer.init_state(next(iter(loader)))
+    assert state.ema_params is not None
+    assert state.img_queue.shape == (16, 64)
+
+    train_step = trainer.make_train_step()
+    batch = next(iter(trainer.feeder(iter(loader))))
+    ptr0 = int(state.queue_ptr)
+    q0 = np.asarray(state.img_queue)
+    ema0 = np.asarray(jax.tree.leaves(state.ema_params)[0])
+    p0 = np.asarray(jax.tree.leaves(state.params)[0])
+
+    state, metrics = train_step(state, batch, jnp.asarray(0.0))
+    # in-modal losses present (momentum branch adds i2i/t2t)
+    for k in ("itc_task_loss", "i2i_Loss", "t2t_Loss", "i2i_l_Loss", "t2t_l_Loss"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+
+    # queue advanced by bs and got the new features written
+    assert int(state.queue_ptr) == (ptr0 + 8) % 64
+    assert not np.allclose(np.asarray(state.img_queue), q0)
+    # queue columns are L2-normalized features
+    written = np.asarray(state.img_queue)[:, ptr0:ptr0 + 8]
+    np.testing.assert_allclose(np.linalg.norm(written, axis=0), 1.0, rtol=1e-4)
+
+    # EMA moved toward the updated params but is not equal to them
+    ema1 = np.asarray(jax.tree.leaves(state.ema_params)[0])
+    p1 = np.asarray(jax.tree.leaves(state.params)[0])
+    assert not np.array_equal(ema1, ema0)
+    assert not np.array_equal(ema1, p1)
+
+
+def test_ema_update_math():
+    ema = {"w": jnp.zeros((4,))}
+    params = {"w": jnp.ones((4,))}
+    out = ema_update(ema, params, decay=0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1, rtol=1e-6)
+
+
+def test_queue_update_wraparound():
+    q = jnp.zeros((4, 10))
+    ptr = jnp.asarray(8, jnp.int32)
+    feats = jnp.ones((6, 4))  # 6 items into a 10-slot queue at ptr 8 → wraps
+    img_q, txt_q, new_ptr = queue_update(q, q, ptr, feats, 2 * feats, None)
+    assert int(new_ptr) == 4
+    np.testing.assert_allclose(np.asarray(img_q)[:, 8:], 1.0)
+    np.testing.assert_allclose(np.asarray(img_q)[:, :4], 1.0)
+    np.testing.assert_allclose(np.asarray(img_q)[:, 4:8], 0.0)
+    np.testing.assert_allclose(np.asarray(txt_q)[:, 9], 2.0)
+
+
+def test_nonfinite_guard_dumps_and_raises(tmp_path):
+    import pytest
+
+    metrics = {"total_loss": jnp.asarray(np.nan), "mlm_task_loss": jnp.asarray(1.0)}
+    with pytest.raises(NonFiniteLossError):
+        check_finite_and_dump(metrics, step=3, output_dir=str(tmp_path))
+    assert (tmp_path / "nan_dump_step3.npz").exists()
+    # finite → no-op
+    check_finite_and_dump({"total_loss": jnp.asarray(1.0)}, 4, str(tmp_path))

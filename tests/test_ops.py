@@ -81,3 +81,26 @@ def test_drop_path():
     # each sample is either all zeros or all 1/keep
     for row in per_sample:
         assert np.allclose(row, 0.0) or np.allclose(row, 2.0)
+
+
+def test_pallas_attention_gradients_match_xla():
+    """The Pallas forward kernel's custom VJP (recompute backward) must agree
+    with differentiating the XLA chain."""
+    rng = np.random.default_rng(7)
+    q, k, v = _rand_qkv(rng, B=1, H=2, N=64, D=32)
+    mask = np.ones((1, 64), np.int32)
+    mask[0, 40:] = 0
+    bias = key_padding_bias(jnp.asarray(mask))
+
+    def loss(impl):
+        def f(q, k, v):
+            out = multi_head_attention(q, k, v, bias=bias, impl=impl)
+            return jnp.sum(out * jnp.cos(out))
+
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g_xla = loss("xla")
+    g_pallas = loss("pallas")
+    for a, b in zip(g_xla, g_pallas):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
