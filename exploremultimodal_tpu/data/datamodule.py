@@ -110,6 +110,12 @@ class MultiTaskData:
         second = d.img_size // 2 if self.is_pretrain else None
         if split == "train":
             if self.is_pretrain:
+                if d.get("native_loader"):
+                    from exploremultimodal_tpu.data.transforms import (
+                        NativePretrainTransform,
+                    )
+
+                    return NativePretrainTransform(d.img_size, second)
                 return PretrainTransform(d.img_size, second)
             return FinetuneTransform(d.img_size)
         return EvalTransform(d.img_size, second)

@@ -104,8 +104,13 @@ class ImageTextArrowDataset:
         sample: Sample = {"index": index}
 
         if not self.text_only:
-            img = self._decode_image(row)
-            out = self.transform(img, rng) if self.transform else np.asarray(img)
+            if hasattr(self.transform, "from_bytes"):
+                out = self.transform.from_bytes(
+                    self.table["image"][row].as_py(), rng
+                )
+            else:
+                img = self._decode_image(row)
+                out = self.transform(img, rng) if self.transform else np.asarray(img)
             if isinstance(out, tuple):
                 sample["image_u8"], sample["image4dalle_u8"] = out
             else:

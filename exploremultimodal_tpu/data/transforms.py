@@ -12,6 +12,7 @@ img_size//2 (lanczos, dVAE stream) — the reference's two-pic invariant.
 
 from __future__ import annotations
 
+import io
 import math
 import random
 from typing import Sequence
@@ -156,6 +157,55 @@ class FinetuneTransform:
 
     def __call__(self, img: Image.Image, rng: random.Random | None = None):
         return self.crop(self.aug(img.convert("RGB"), rng), rng)
+
+
+class NativePretrainTransform:
+    """Fast-path pretrain transform over raw JPEG bytes: native C++ decode +
+    random-resized crop + resize to img_size, photometric RandomAugment on
+    the small crop (cheaper than on the full image), then img_size →
+    second_size for the dVAE stream so both streams see identical content.
+
+    Performance alternative to PretrainTransform (which is the
+    reference-parity path: augment before crop, bicubic/lanczos resampling).
+    """
+
+    def __init__(self, img_size: int, second_size: int | None = None,
+                 n: int = 2, m: int = 7, scale=(0.9, 1.0)):
+        from exploremultimodal_tpu.data import native
+
+        if not native.is_available():
+            raise RuntimeError("native loader not built (make -C native)")
+        self.native = native
+        self.img_size = img_size
+        self.second_size = second_size
+        self.aug = RandomAugment(n, m)
+        self.scale = scale
+
+    def from_bytes(self, jpeg_bytes: bytes, rng: random.Random | None = None):
+        rng = rng or random
+        # decode header cheaply for crop params? decode once, full image crop
+        # params need (w, h): read from the JPEG SOF via PIL lazy open
+        with Image.open(io.BytesIO(jpeg_bytes)) as im:
+            w, h = im.size
+        left, top, cw, ch = random_resized_crop_params(w, h, rng, scale=self.scale)
+        boxes = np.array([[left, top, cw, ch]], np.int32)
+        out1, _, status = self.native.decode_resize_batch(
+            [jpeg_bytes], size1=self.img_size, crop_boxes=boxes, num_threads=1
+        )
+        if status[0] != 0:
+            raise ValueError("jpeg decode failed")
+        main = np.asarray(
+            self.aug(Image.fromarray(out1[0]), rng), np.uint8
+        )
+        if self.second_size is None:
+            return main
+        second = np.asarray(
+            Image.fromarray(main).resize(
+                (self.second_size, self.second_size), Image.LANCZOS
+            ),
+            np.uint8,
+        )
+        return main, second
 
 
 class EvalTransform:
