@@ -127,12 +127,12 @@ class MultiTaskData:
             max_text_len=self.cfg.model.max_text_len,
             mlm_collator=self.mlm_collator,
         )
+        losses = set(self.cfg.train.loss_names)
+        draw_false = (
+            int(self.cfg.train.get("draw_false_text", 3)) if "irtr" in losses else 0
+        )
         if key == "synthetic":
-            vqa_size = (
-                d.vqav2_label_size
-                if "vqa" in self.cfg.train.loss_names
-                else None
-            )
+            vqa_size = d.vqav2_label_size if "vqa" in losses else None
             return SyntheticDataset(
                 size=d.get("synthetic_size", 256),
                 text_only=set(self.cfg.train.loss_names) <= {"mlm"}
@@ -144,7 +144,9 @@ class MultiTaskData:
                 patch_grid=d.img_size // d.patch_size,
                 num_mask_patches=d.num_mask_patches,
                 vqa_label_size=vqa_size,
-                nlvr="nlvr2" in self.cfg.train.loss_names,
+                nlvr="nlvr2" in losses,
+                draw_false_text=draw_false,
+                mpp_labels="mpp" in losses,
             )
         if key in NLP_KEYS:
             path = os.path.join(d.data_root, NLP_KEYS[key])
@@ -185,6 +187,7 @@ class MultiTaskData:
             transform=self._transform(split),
             mask_generator=self.mask_generator if self.is_pretrain else None,
             image_only=d.get("image_only", False),
+            draw_false_text=draw_false if split == "train" else 0,
             **common,
         )
 

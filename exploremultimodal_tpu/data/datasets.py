@@ -50,6 +50,7 @@ class ImageTextArrowDataset:
         mask_generator: MaskingGenerator | None = None,
         image_only: bool = False,
         text_only: bool = False,
+        draw_false_text: int = 0,
         extra_columns: Sequence[str] = (),
     ):
         import pyarrow as pa
@@ -63,6 +64,7 @@ class ImageTextArrowDataset:
         self.mask_generator = mask_generator
         self.image_only = image_only
         self.text_only = text_only
+        self.draw_false_text = draw_false_text
         self.extra_columns = list(extra_columns)
 
         tables = []
@@ -130,6 +132,20 @@ class ImageTextArrowDataset:
                 ids_mlm, labels = self.mlm_collator(ids)
                 sample["text_ids_mlm"] = ids_mlm[0].astype(np.int32)
                 sample["text_labels_mlm"] = labels[0].astype(np.int32)
+
+        if self.draw_false_text > 0:
+            # negative captions for retrieval ranking (reference draws
+            # false_text_{i} per sample; train/finetune retrieval recipe)
+            ids_list, mask_list = [], []
+            for _ in range(self.draw_false_text):
+                j = rng.randrange(len(self))
+                f_ids, f_mask = encode_texts(
+                    self.tokenizer, [self.get_raw_text(j)], self.max_text_len
+                )
+                ids_list.append(f_ids[0])
+                mask_list.append(f_mask[0])
+            sample["false_text_ids"] = np.stack(ids_list)
+            sample["false_text_mask"] = np.stack(mask_list)
 
         for col in self.extra_columns:
             sample[col] = self.table[col][row].as_py()
@@ -278,6 +294,8 @@ class SyntheticDataset:
         vqa_label_size: int | None = None,
         nlvr: bool = False,
         text_only: bool = False,
+        draw_false_text: int = 0,
+        mpp_labels: bool = False,
         seed: int = 0,
     ):
         self.size = size
@@ -289,6 +307,8 @@ class SyntheticDataset:
         self.vqa_label_size = vqa_label_size
         self.nlvr = nlvr
         self.text_only = text_only
+        self.draw_false_text = draw_false_text
+        self.mpp_labels = mpp_labels
         self.mask_generator = MaskingGenerator(
             patch_grid, num_mask_patches,
             min_num_patches=min(min_mask_per_block, num_mask_patches),
@@ -334,6 +354,19 @@ class SyntheticDataset:
             t = np.zeros(self.vqa_label_size, np.float32)
             t[rng.integers(0, self.vqa_label_size)] = 1.0
             sample["vqa_targets"] = t
+        if self.draw_false_text:
+            L = self.max_text_len
+            sample["false_text_ids"] = rng.integers(
+                1000, self.vocab_size, (self.draw_false_text, L)
+            ).astype(np.int32)
+            sample["false_text_mask"] = np.ones(
+                (self.draw_false_text, L), np.int32
+            )
+        if self.mpp_labels:
+            n_patches = sample["image_bool_masked_pos"].shape[0]
+            labels = rng.integers(0, 256, (n_patches, 3)).astype(np.int32)
+            labels[sample["image_bool_masked_pos"] == 0] = -100
+            sample["image_labels_mpp"] = labels
         if self.nlvr:
             sample["image_0_u8"] = sample["image_u8"]
             sample["image_1_u8"] = rng.integers(

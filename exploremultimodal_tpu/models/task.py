@@ -369,6 +369,24 @@ def total_loss(outputs: dict) -> jax.Array:
     return total
 
 
+def adjust_downstream_params(params: dict, loss_names: tuple[str, ...]) -> dict:
+    """Downstream warm-start surgery (vlmo_module.py:169-185): initialize the
+    IRTR rank head from the ITM head's 'match' logit row. (The NLVR2
+    token-type copy happens in the torch importer, which maps
+    token_type_embeddings into the 3-row table directly.)"""
+    if "irtr" in loss_names and "itm_head" in params and "rank_output" in params:
+        itm_kernel = params["itm_head"]["fc"]["kernel"]  # (hs, 2)
+        itm_bias = params["itm_head"]["fc"]["bias"]
+        params = dict(params)
+        params["rank_output"] = {
+            "fc": {
+                "kernel": itm_kernel[:, 1:2],
+                "bias": itm_bias[1:2],
+            }
+        }
+    return params
+
+
 def build_model(cfg) -> VlmoTask:
     """Model factory (reference models/build.py:4-12)."""
     if cfg.model.type != "VLMO":

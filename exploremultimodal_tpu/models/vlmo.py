@@ -238,6 +238,31 @@ class Pooler(nn.Module):
         return jnp.tanh(nn.Dense(self.dim, dtype=self.dtype, name="dense")(x[:, 0]))
 
 
+def build_2d_sincos_position_embedding(
+    grid_size: int, embed_dim: int, temperature: float = 10000.0
+) -> jax.Array:
+    """Fixed 2-D sin-cos positional embedding incl. a zero [CLS] row
+    (MoCo-v3-style; the reference carries an unused builder at
+    vlmo.py:455-477 — here it is a usable option: pass the result as
+    `pos_embed` via parameter surgery or freeze it with a 0x LR multiplier)."""
+    import numpy as np
+
+    if embed_dim % 4 != 0:
+        raise ValueError("embed_dim must be divisible by 4 for 2D sin-cos")
+    grid_w = np.arange(grid_size, dtype=np.float32)
+    grid_h = np.arange(grid_size, dtype=np.float32)
+    gw, gh = np.meshgrid(grid_w, grid_h, indexing="ij")
+    pos_dim = embed_dim // 4
+    omega = 1.0 / temperature ** (np.arange(pos_dim, dtype=np.float32) / pos_dim)
+    out_w = np.einsum("m,d->md", gw.flatten(), omega)
+    out_h = np.einsum("m,d->md", gh.flatten(), omega)
+    pe = np.concatenate(
+        [np.sin(out_w), np.cos(out_w), np.sin(out_h), np.cos(out_h)], axis=1
+    )[None]
+    cls_row = np.zeros((1, 1, embed_dim), np.float32)
+    return jnp.asarray(np.concatenate([cls_row, pe], axis=1))
+
+
 def expert_layout(
     depth: int, fusion_layer: int, phase: str | None
 ) -> tuple[tuple[str, ...], ...]:

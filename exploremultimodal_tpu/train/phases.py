@@ -139,6 +139,28 @@ def write_vqa_submission(cfg, logger, state, out_tag: str = "") -> str | None:
     return part
 
 
+@register("finetune_retrieval")
+def finetune_retrieval(cfg, logger):
+    """Runnable retrieval finetune: ITC + IRTR ranking loss over drawn false
+    texts, recall@K evaluation (the reference driver is a log-only stub;
+    compute_irtr exists at objectives.py:946-984 and recall was left
+    unimplemented at :987-989)."""
+    result = _run_trainer(cfg, logger)
+    if isinstance(result, dict) and "state" in result:
+        try:
+            from exploremultimodal_tpu.train.retrieval import evaluate_retrieval
+
+            trainer = Trainer(cfg, logger)
+            loader = trainer.data.val_loader()
+            if len(loader) > 0:
+                recalls = evaluate_retrieval(trainer, result["state"], loader)
+                logger.info(f"retrieval recall: {recalls}")
+                result["recalls"] = recalls
+        except Exception as e:
+            logger.warning(f"retrieval recall skipped: {e}")
+    return result
+
+
 def _stub(name: str):
     @register(name)
     def stub(cfg, logger, _name=name):
@@ -151,7 +173,7 @@ def _stub(name: str):
     return stub
 
 
-for _name in ("finetune_retrieval", "finetune_caption", "finetune_ref",
+for _name in ("finetune_caption", "finetune_ref",
               "finetune_inpainting", "finetune_vis"):
     _stub(_name)
 

@@ -23,11 +23,10 @@ GradScaler/DeepSpeed dynamic loss scale).
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import time
-from typing import Any, Iterator
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +40,6 @@ from exploremultimodal_tpu.models.task import VlmoTask
 from exploremultimodal_tpu.ops.preprocess import preprocess_batch
 from exploremultimodal_tpu.parallel import create_mesh
 from exploremultimodal_tpu.parallel.partitioning import (
-    batch_specs,
     opt_state_specs,
     param_specs,
     to_shardings,
@@ -302,7 +300,6 @@ class Trainer:
             )
             return new_state, metrics
 
-        batch_shardings = None
         return jax.jit(train_step, donate_argnums=(0,))
 
     def make_eval_step(self):

@@ -272,3 +272,29 @@ def test_total_loss_filters_nonfinite():
     out = {"a_task_loss": jnp.asarray(1.5), "b_task_loss": jnp.asarray(np.nan),
            "c_metric": jnp.asarray(7.0)}
     np.testing.assert_allclose(float(total_loss(out)), 1.5)
+
+
+def test_mpp_pipeline_and_loss():
+    """MPP: 3x256-way discretized-RGB CE at masked patches, labels from the
+    synthetic pipeline (reference compute_mpp, objectives.py:781-813)."""
+    from exploremultimodal_tpu.data.datasets import SyntheticDataset
+
+    ds = SyntheticDataset(size=4, img_size=32, second_size=None, max_text_len=8,
+                          patch_grid=2, num_mask_patches=2, min_mask_per_block=1,
+                          mpp_labels=True)
+    s = ds[0]
+    assert s["image_labels_mpp"].shape == (4, 3)
+    unmasked = s["image_bool_masked_pos"] == 0
+    assert (s["image_labels_mpp"][unmasked] == -100).all()
+
+    task = make_task(["mpp"], phase=None)
+    batch = make_batch()
+    labels = np.full((4, N_PATCH, 3), -100, np.int32)
+    bmp = np.asarray(batch["image_bool_masked_pos"])
+    labels[bmp == 1] = np.random.default_rng(0).integers(
+        0, 256, (int(bmp.sum()), 3))
+    batch["image_labels_mpp"] = jnp.asarray(labels)
+    variables = init_task(task, batch)
+    out = task.apply(variables, batch, rngs={"sample": jax.random.key(2)})
+    assert np.isfinite(float(out["mpp_task_loss"]))
+    assert int(out["mpp_count"]) == int(bmp.sum()) * 3

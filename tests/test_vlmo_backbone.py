@@ -190,3 +190,25 @@ def test_forward_interval_slice_composition():
         method=VLMO.forward_interval,
     )
     np.testing.assert_allclose(np.asarray(full), np.asarray(rest), rtol=1e-6)
+
+
+def test_2d_sincos_pos_embed():
+    from exploremultimodal_tpu.models.vlmo import build_2d_sincos_position_embedding
+
+    pe = build_2d_sincos_position_embedding(4, 32)
+    assert pe.shape == (1, 17, 32)
+    assert np.allclose(np.asarray(pe)[0, 0], 0.0)  # [CLS] row zero
+    # rows are distinct positions
+    body = np.asarray(pe)[0, 1:]
+    assert np.unique(body.round(4), axis=0).shape[0] == 16
+    # swap into a model via parameter surgery and run (2x2 patch grid)
+    pe = build_2d_sincos_position_embedding(2, 32)
+    model = tiny_vlmo(embed_dim=32, num_heads=2)
+    variables = _init(model)
+    params = dict(variables["params"])
+    assert params["pos_embed"].shape == pe.shape
+    params["pos_embed"] = pe
+    img = jnp.zeros((1, 32, 32, 3))
+    feats, _ = model.apply({"params": params}, img=img,
+                           method=VLMO.forward_features)
+    assert np.isfinite(np.asarray(feats)).all()
