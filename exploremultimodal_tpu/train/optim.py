@@ -153,24 +153,105 @@ def create_optimizer(
     )
 
     opt_name = t.opt.name.lower().replace("fused", "")
-    if opt_name not in ("adamw", "adam"):
-        raise NotImplementedError(f"optimizer {t.opt.name}")
+    lookahead = opt_name.startswith("lookahead_")
+    if lookahead:
+        opt_name = opt_name[len("lookahead_"):]
+
+    scaler = _update_rule(opt_name, t.opt)
+    decays_weights = opt_name in ("adamw", "lamb", "lars", "sgdw", "novograd")
 
     chain = [
         optax.clip_by_global_norm(float(t.clip_grad)) if t.get("clip_grad")
         else optax.identity(),
-        optax.scale_by_adam(
-            b1=float(t.opt.betas[0]),
-            b2=float(t.opt.betas[1]),
-            eps=float(t.opt.eps),
-        ),
+        scaler,
         optax.add_decayed_weights(float(t.weight_decay), mask=no_decay_mask(params))
-        if opt_name == "adamw"
+        if decays_weights
         else optax.identity(),
         optax.scale_by_learning_rate(schedule),
         scale_by_multipliers(mults),
     ]
-    return optax.chain(*chain), schedule
+    opt = optax.chain(*chain)
+    if lookahead:
+        opt = slow_ema_lookahead(opt, sync_period=6, slow_step=0.5)
+    return opt, schedule
+
+
+def _update_rule(name: str, opt_cfg: Any) -> optax.GradientTransformation:
+    """The reference's optimizer menu (optim_factory.py:93-199) mapped onto
+    optax update rules (the fused-CUDA variants collapse onto their math;
+    XLA fuses the update)."""
+    b1, b2 = (float(b) for b in opt_cfg.get("betas", [0.9, 0.999]))
+    eps = float(opt_cfg.get("eps", 1e-8))
+    momentum = float(opt_cfg.get("momentum", 0.9))
+
+    table: dict[str, Callable[[], optax.GradientTransformation]] = {
+        "adam": lambda: optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        "adamw": lambda: optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        "nadam": lambda: optax.scale_by_adam(b1=b1, b2=b2, eps=eps, nesterov=True),
+        "radam": lambda: optax.scale_by_radam(b1=b1, b2=b2, eps=eps),
+        "lamb": lambda: optax.chain(
+            optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+            optax.scale_by_trust_ratio(),
+        ),
+        "lars": lambda: optax.chain(
+            optax.trace(decay=momentum),
+            optax.scale_by_trust_ratio(),
+        ),
+        "sgd": lambda: optax.identity(),
+        "momentum": lambda: optax.trace(decay=momentum),
+        "nesterov": lambda: optax.trace(decay=momentum, nesterov=True),
+        "rmsprop": lambda: optax.scale_by_rms(decay=0.9, eps=eps),
+        "rmsproptf": lambda: optax.scale_by_rms(decay=0.9, eps=eps),
+        "adadelta": lambda: optax.scale_by_adadelta(eps=eps),
+        "adafactor": lambda: optax.scale_by_factored_rms(),
+        "novograd": lambda: optax.scale_by_novograd(b1=b1, b2=b2, eps=eps),
+        "lion": lambda: optax.scale_by_lion(b1=b1, b2=b2),
+    }
+    if name not in table:
+        raise NotImplementedError(
+            f"optimizer {name!r}; available: {sorted(table)} (+ lookahead_ prefix)"
+        )
+    return table[name]()
+
+
+def slow_ema_lookahead(
+    inner: optax.GradientTransformation, sync_period: int = 6,
+    slow_step: float = 0.5,
+) -> optax.GradientTransformation:
+    """Lookahead wrapper (reference wraps timm Lookahead,
+    optim_factory.py:193-195): keep slow weights; every `sync_period` steps
+    pull the fast weights `slow_step` of the way back and restart from there.
+    Implemented as state (slow copy + counter) so the train state stays a
+    plain param tree."""
+
+    def init_fn(params):
+        return {
+            "inner": inner.init(params),
+            "slow": jax.tree_util.tree_map(jnp.copy, params),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update_fn(updates, state, params):
+        inner_updates, inner_state = inner.update(updates, state["inner"], params)
+        fast = optax.apply_updates(params, inner_updates)
+        count = state["count"] + 1
+        sync = (count % sync_period) == 0
+
+        new_slow = jax.tree_util.tree_map(
+            lambda s, f: jnp.where(sync, s + slow_step * (f - s), s),
+            state["slow"], fast,
+        )
+        target = jax.tree_util.tree_map(
+            lambda f, ns: jnp.where(sync, ns, f), fast, new_slow
+        )
+        final_updates = jax.tree_util.tree_map(
+            lambda tgt, p: tgt - p, target, params
+        )
+        return final_updates, {
+            "inner": inner_state, "slow": new_slow, "count": count,
+        }
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def global_norm(tree: Any) -> jax.Array:

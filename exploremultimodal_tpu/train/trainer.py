@@ -108,6 +108,9 @@ class Trainer:
 
     def init_state(self, sample_batch: dict) -> TrainState:
         cfg = self.cfg
+        sample_batch = {
+            k: v for k, v in sample_batch.items() if not isinstance(v, list)
+        }
         model_batch = jax.eval_shape(preprocess_batch, sample_batch)
         model_batch = {
             k: jnp.zeros(v.shape, v.dtype) if hasattr(v, "shape") else v
@@ -405,7 +408,8 @@ class Trainer:
         for batch in meter.log_every(
             self.feeder(iter(loader)), print_freq, header=f"Epoch [{epoch}]"
         ):
-            state, metrics = train_step(state, batch, epoch_arr)
+            arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+            state, metrics = train_step(state, arrays, epoch_arr)
             meter.update(**{k: v for k, v in metrics.items()})
             # host syncs happen only at logging cadence; the in-graph
             # per-loss isfinite filter handles transient components
@@ -429,16 +433,33 @@ class Trainer:
         sums: dict[str, float] = {}
         weights: dict[str, float] = {}
         rng = jax.random.key(0)
-        for i, batch in enumerate(self.feeder(iter(loader))):
+
+        def add(key: str, value: float, weight: float) -> None:
+            sums[key] = sums.get(key, 0.0) + value * weight
+            weights[key] = weights.get(key, 0.0) + weight
+
+        for batch in self.feeder(iter(loader)):
             rng, sub = jax.random.split(rng)
-            metrics, counts, _ = eval_step(state.params, batch, sub)
+            arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+            metrics, counts, extra = eval_step(state.params, arrays, sub)
             for k, v in metrics.items():
                 count_key = k.replace("_mean_acc", "_count").replace(
                     "_mean_score", "_count"
                 )
-                w = float(np.asarray(counts.get(count_key, 1.0)))
-                sums[k] = sums.get(k, 0.0) + float(np.asarray(v)) * w
-                weights[k] = weights.get(k, 0.0) + w
+                add(k, float(np.asarray(v)),
+                    float(np.asarray(counts.get(count_key, 1.0))))
+            # NLVR2 dev/test bucketing by table_name (objectives.py:917-941)
+            if "nlvr2_logits" in extra and isinstance(batch.get("table_name"), list):
+                preds = np.asarray(extra["nlvr2_logits"]).argmax(-1)
+                answers = np.asarray(batch["answers"])
+                for bucket in ("dev", "test"):
+                    sel = np.array(
+                        [bucket in t for t in batch["table_name"]], bool
+                    )
+                    if sel.any():
+                        add(f"nlvr2_{bucket}_acc",
+                            float((preds[sel] == answers[sel]).mean()),
+                            float(sel.sum()))
         return {k: sums[k] / max(weights[k], 1e-9) for k in sums}
 
     # ------------------------------------------------------- throughput mode

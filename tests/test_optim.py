@@ -122,3 +122,49 @@ def test_head_multiplier_scales_update():
     bottom = np.asarray(updates["transformer"]["blocks_0"]["attn"]["qkv"]["kernel"])
     head = np.asarray(updates["vqa_classifier"]["fc2"]["kernel"])
     np.testing.assert_allclose(head, bottom * 50, rtol=1e-5)  # lr_mult_head=50
+
+
+def test_optimizer_menu():
+    """Reference optimizer choices (optim_factory.py:93-199) all construct and
+    produce finite updates."""
+    from exploremultimodal_tpu.train.optim import _update_rule, slow_ema_lookahead
+
+    cfg = load_config(["train=pretrain_mum", "model=vlmo_debug"])
+    params = {"w": jnp.ones((16, 16)), "b": jnp.zeros((16,))}
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    for name in ("adam", "adamw", "nadam", "radam", "lamb", "lars", "sgd",
+                 "momentum", "nesterov", "rmsprop", "adadelta", "adafactor",
+                 "novograd", "lion"):
+        cfg.train.opt.name = name
+        opt, _ = create_optimizer(cfg, params, steps_per_epoch=10)
+        state = opt.init(params)
+        updates, _ = opt.update(grads, state, params)
+        for leaf in jax.tree.leaves(updates):
+            assert np.isfinite(np.asarray(leaf)).all(), name
+
+    import pytest
+
+    cfg.train.opt.name = "unknown_opt"
+    with pytest.raises(NotImplementedError):
+        create_optimizer(cfg, params, steps_per_epoch=10)
+
+
+def test_lookahead_sync_semantics():
+    from exploremultimodal_tpu.train.optim import slow_ema_lookahead
+
+    inner = optax.sgd(0.1)
+    opt = slow_ema_lookahead(inner, sync_period=2, slow_step=0.5)
+    params = {"w": jnp.asarray(1.0)}
+    state = opt.init(params)
+    grads = {"w": jnp.asarray(1.0)}
+
+    # step 1 (no sync): plain sgd: 1.0 - 0.1 = 0.9
+    u, state = opt.update(grads, state, params)
+    params = optax.apply_updates(params, u)
+    np.testing.assert_allclose(float(params["w"]), 0.9, rtol=1e-6)
+
+    # step 2 (sync): fast would be 0.8; slow = 1.0 + 0.5*(0.8-1.0) = 0.9
+    u, state = opt.update(grads, state, params)
+    params = optax.apply_updates(params, u)
+    np.testing.assert_allclose(float(params["w"]), 0.9, rtol=1e-6)
+    np.testing.assert_allclose(float(state["slow"]["w"]), 0.9, rtol=1e-6)

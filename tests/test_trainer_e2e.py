@@ -183,3 +183,60 @@ def test_torch_import_beit_and_vlmo(tmp_path):
         np.asarray(new_params["transformer"]["norm"]["scale"]),
         np.asarray(params["transformer"]["norm"]["scale"]),
     )
+
+
+def test_nlvr2_train_and_bucketed_eval(tmp_path):
+    """NLVR2 e2e on arrow data incl. dev/test bucket metrics
+    (objectives.py:917-941 capability)."""
+    import io
+    import pyarrow as pa
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+
+    def jpeg():
+        buf = io.BytesIO()
+        Image.fromarray(rng.integers(0, 256, (40, 40, 3), np.uint8)).save(
+            buf, format="JPEG")
+        return buf.getvalue()
+
+    def write(name, n, tables):
+        t = pa.table({
+            "image_0": [jpeg() for _ in range(n)],
+            "image_1": [jpeg() for _ in range(n)],
+            "questions": [["left bigger?"]] * n,
+            "answers": [[bool(i % 2)] for i in range(n)],
+            "table_name": tables,
+        })
+        with pa.OSFile(str(root / f"{name}.arrow"), "wb") as sink:
+            with pa.ipc.new_file(sink, t.schema) as w:
+                w.write_table(t)
+
+    root = tmp_path / "arrows"
+    root.mkdir()
+    write("nlvr2_train", 8, ["nlvr2_train"] * 8)
+    write("nlvr2_dev", 4, ["nlvr2_dev", "nlvr2_dev", "nlvr2_test1", "nlvr2_test1"])
+
+    from exploremultimodal_tpu.train.trainer import Trainer
+
+    cfg = load_config([
+        "model=vlmo_debug", "train=finetune_nlvr2",
+        f"data.data_root={root}", f"exp_dir={tmp_path}/run",
+        "data.batch_size=4", "data.num_workers=1",
+        "model.img_size=32", "model.embed_dim=32", "model.num_heads=2",
+        "model.max_text_len=8", "model.drop_rate=0.0",
+        "model.attn_drop_rate=0.0", "model.drop_path_rate=0.0",
+        "train.warmup_steps=1", "compute_dtype=float32",
+    ])
+    trainer = Trainer(cfg)
+    loader = trainer.data.train_loader()
+    state = trainer.init_state(next(iter(loader)))
+    train_step = trainer.make_train_step()
+    batch = next(iter(trainer.feeder(iter(loader))))
+    arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+    state, metrics = train_step(state, arrays, jnp.asarray(0.0))
+    assert np.isfinite(float(metrics["nlvr2_task_loss"]))
+
+    stats = trainer.evaluate(state, trainer.data.val_loader())
+    assert "nlvr2_dev_acc" in stats and "nlvr2_test_acc" in stats
+    assert 0.0 <= stats["nlvr2_dev_acc"] <= 1.0
