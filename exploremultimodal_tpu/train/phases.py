@@ -43,7 +43,12 @@ def _run_trainer(cfg, logger) -> Any:
         return {"throughput": trainer.throughput()}
     if cfg.get("eval_mode"):
         loader = trainer.data.val_loader()
-        batch = next(iter(trainer.data.train_loader()))
+        init_loader = (
+            trainer.data.train_loader()
+            if len(trainer.data.train_loader()) > 0
+            else loader
+        )
+        batch = next(iter(init_loader))
         state = trainer.init_state(batch)
         from exploremultimodal_tpu.train import checkpoints as ckpt_lib
 

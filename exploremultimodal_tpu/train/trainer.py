@@ -237,29 +237,53 @@ class Trainer:
             model_batch = self._model_batch(batch)
 
             if accum > 1:
+                # scalar metrics averaged across microbatches ride the carry
+                def metrics_of(out):
+                    return {
+                        k: jnp.asarray(v, jnp.float32)
+                        for k, v in _metrics_from_outputs(out).items()
+                    }
+
                 def micro(i, carry):
-                    grads_acc, loss_acc = carry
+                    grads_acc, loss_acc, met_acc = carry
                     mb = jax.tree_util.tree_map(
                         lambda v: v.reshape((accum, -1) + v.shape[1:])[i],
                         model_batch,
                     )
-                    (loss, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    (loss, out), g = jax.value_and_grad(loss_fn, has_aux=True)(
                         state.params, mb, rngs, state, epoch
                     )
+                    met = metrics_of(out)
                     return (
                         jax.tree_util.tree_map(jnp.add, grads_acc, g),
                         loss_acc + loss,
+                        {k: met_acc[k] + met[k] for k in met_acc},
                     )
 
                 zero = jax.tree_util.tree_map(
                     lambda p: jnp.zeros_like(p, jnp.float32), state.params
                 )
-                grads, loss = jax.lax.fori_loop(
-                    0, accum, micro, (zero, jnp.zeros((), jnp.float32))
+                mb0 = jax.tree_util.tree_map(
+                    lambda v: v.reshape((accum, -1) + v.shape[1:])[0],
+                    model_batch,
+                )
+                out_shapes = jax.eval_shape(
+                    lambda p: loss_fn(p, mb0, rngs, state, epoch)[1],
+                    state.params,
+                )
+                met0 = {
+                    k: jnp.zeros((), jnp.float32)
+                    for k, v in out_shapes.items()
+                    if any(k.endswith(sfx) or k == sfx.strip("_")
+                           for sfx in METRIC_KEYS)
+                    and getattr(v, "ndim", None) == 0
+                }
+                grads, loss, met_sum = jax.lax.fori_loop(
+                    0, accum, micro, (zero, jnp.zeros((), jnp.float32), met0)
                 )
                 grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
                 loss = loss / accum
-                outputs = {}
+                outputs = {k: v / accum for k, v in met_sum.items()}
             else:
                 (loss, outputs), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
@@ -404,12 +428,23 @@ class Trainer:
         meter = MetricLogger(logger=self.logger)
         epoch_arr = jnp.asarray(epoch, jnp.float32)
         print_freq = int(cfg.train.get("print_freq", 300))
+        profile_steps = int(cfg.get("profile_steps", 0)) if epoch == 0 else 0
+        profile_at = 3  # after warmup/compile
         i = 0
         for batch in meter.log_every(
             self.feeder(iter(loader)), print_freq, header=f"Epoch [{epoch}]"
         ):
+            if profile_steps and i == profile_at:
+                jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
             arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
             state, metrics = train_step(state, arrays, epoch_arr)
+            if profile_steps and i == profile_at + profile_steps - 1:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                self.logger.info(
+                    f"profiler trace written to {self.output_dir}/profile"
+                )
+                profile_steps = 0
             meter.update(**{k: v for k, v in metrics.items()})
             # host syncs happen only at logging cadence; the in-graph
             # per-loss isfinite filter handles transient components

