@@ -48,17 +48,26 @@ def _setup_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _timeit(step, n_warmup: int, n_iters: int) -> float:
+def _sync(out) -> None:
+    """Force completion via a host readback — on tunneled backends (axon)
+    block_until_ready returns before remote execution finishes, so a scalar
+    device→host transfer is the only reliable fence."""
     import jax
+    import numpy as np
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+
+def _timeit(step, n_warmup: int, n_iters: int) -> float:
     out = None
     for _ in range(n_warmup):
         out = step()
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = step()
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / n_iters
 
 

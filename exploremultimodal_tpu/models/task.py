@@ -251,6 +251,21 @@ class VlmoTask(nn.Module):
     def rank_logits(self, cls_feats: jax.Array) -> jax.Array:
         return self.rank_output(cls_feats)
 
+    def stream_below_fusion(self, img=None, txt=None, txt_mask=None,
+                            deterministic=True):
+        return self.transformer.stream_below_fusion(
+            img=img, txt=txt, txt_mask=txt_mask, deterministic=deterministic
+        )
+
+    def fuse_from_hidden(self, img_hidden, txt_hidden, txt_mask,
+                         deterministic=True):
+        return self.transformer.fuse_from_hidden(
+            img_hidden, txt_hidden, txt_mask, deterministic=deterministic
+        )
+
+    def pool_feats(self, co_feats):
+        return self.transformer.pool(co_feats)
+
     def backbone_interval_img(
         self, img, bool_masked_pos, out_layer, deterministic=True
     ):

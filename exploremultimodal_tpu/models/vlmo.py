@@ -495,6 +495,48 @@ class VLMO(nn.Module):
             co = blk(co, co_bias, "vl", deterministic)
         return self.norm(co).astype(self.dtype), co_mask
 
+    def stream_below_fusion(
+        self,
+        img: jax.Array | None = None,
+        txt: jax.Array | None = None,
+        txt_mask: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Embed one modality and run blocks[:fusion_layer] on its route.
+        The single-modality half of the dual-stream forward, exposed so
+        callers can deduplicate repeated inputs (ITM forwards the same image
+        with several texts — the image stream below fusion is text-
+        independent, so it is computed once per unique image and the hidden
+        states gathered per pair; the reference recomputes it 3× per step)."""
+        if img is not None:
+            x = self.embed_img(img, deterministic=deterministic)
+            mask = jnp.ones((img.shape[0], self.num_patches + 1), jnp.int32)
+            route = "v"
+        else:
+            x = self.embed_txt(txt, deterministic)
+            mask, route = txt_mask, "l"
+        return self.run_blocks(
+            x, mask, route, 0, self.fusion_layer, deterministic
+        )
+
+    def fuse_from_hidden(
+        self,
+        img_hidden: jax.Array,
+        txt_hidden: jax.Array,
+        txt_mask: jax.Array,
+        deterministic: bool = True,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Concat pre-fused hidden states and run blocks[fusion_layer:]
+        (the tail of forward_features' dual-stream branch)."""
+        B = img_hidden.shape[0]
+        img_mask = jnp.ones((B, img_hidden.shape[1]), jnp.int32)
+        co = jnp.concatenate([txt_hidden, img_hidden], axis=1)
+        co_mask = jnp.concatenate([txt_mask, img_mask], axis=1)
+        co_bias = key_padding_bias(co_mask)
+        for blk in self.blocks[self.fusion_layer:]:
+            co = blk(co, co_bias, "vl", deterministic)
+        return self.norm(co).astype(self.dtype), co_mask
+
     def pool(self, co_feats: jax.Array) -> jax.Array:
         return self.pooler(co_feats)
 

@@ -276,16 +276,30 @@ def compute_itm(
     neg_img_idx = jax.random.categorical(r_img, logw_t2i, axis=1)  # per text
     neg_txt_idx = jax.random.categorical(r_txt, logw_i2t, axis=1)  # per image
 
-    img_all = jnp.concatenate([img, img[neg_img_idx], img], axis=0)
-    txt_all = jnp.concatenate([txt_ids, txt_ids, txt_ids[neg_txt_idx]], axis=0)
-    mask_all = jnp.concatenate([txt_mask, txt_mask, txt_mask[neg_txt_idx]], axis=0)
+    # dedup below the fusion layer: the pairing [pos, img-neg, txt-neg] reuses
+    # each image/text twice, and single-modality streams below fusion don't
+    # depend on the pairing — run 2·bs unique streams, gather to 3·bs rows,
+    # and only the fused blocks see all pairs (TPU-first restructuring; the
+    # reference forwards the duplicates, objectives.py:280-291)
+    img_unique = jnp.concatenate([img, img[neg_img_idx]], axis=0)
+    txt_unique = jnp.concatenate([txt_ids, txt_ids[neg_txt_idx]], axis=0)
+    mask_unique = jnp.concatenate([txt_mask, txt_mask[neg_txt_idx]], axis=0)
 
-    infer = task.infer(
-        {"image": img_all, "text_ids": txt_all, "text_mask": mask_all},
-        infer_mode="img-txt",
-        deterministic=deterministic,
+    h_img = task.stream_below_fusion(img=img_unique, deterministic=deterministic)
+    h_txt = task.stream_below_fusion(
+        txt=txt_unique, txt_mask=mask_unique, deterministic=deterministic
     )
-    logits = task.itm_logits(infer["cls_feats"])
+    pair_img = jnp.concatenate([h_img[:bs], h_img[bs:], h_img[:bs]], axis=0)
+    pair_txt = jnp.concatenate([h_txt[:bs], h_txt[:bs], h_txt[bs:]], axis=0)
+    pair_mask = jnp.concatenate(
+        [txt_mask, txt_mask, txt_mask[neg_txt_idx]], axis=0
+    )
+
+    co_feats, _ = task.fuse_from_hidden(
+        pair_img, pair_txt, pair_mask, deterministic=deterministic
+    )
+    cls_feats = task.pool_feats(co_feats)
+    logits = task.itm_logits(cls_feats)
     labels = jnp.concatenate(
         [jnp.ones(bs, jnp.int32), jnp.zeros(2 * bs, jnp.int32)]
     )

@@ -509,13 +509,18 @@ class Trainer:
         train_step = self.make_train_step()
         epoch_arr = jnp.asarray(0, jnp.float32)
 
+        def sync(metrics):
+            # tunneled backends: block_until_ready returns early; a host
+            # readback is the reliable fence
+            float(np.asarray(metrics["total_loss"]))
+
         for _ in range(n_warmup):
             state, m = train_step(state, batch, epoch_arr)
-        jax.block_until_ready(m)
+        sync(m)
         t0 = time.perf_counter()
         for _ in range(n_iters):
             state, m = train_step(state, batch, epoch_arr)
-        jax.block_until_ready(m)
+        sync(m)
         dt = time.perf_counter() - t0
         bs = self.cfg.data.batch_size
         sps = n_iters * bs / dt

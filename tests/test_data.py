@@ -211,3 +211,26 @@ def test_concat_dataset_indexing():
     np.testing.assert_array_equal(cat[0]["image_u8"], d1[0]["image_u8"])
     np.testing.assert_array_equal(cat[3]["image_u8"], d2[0]["image_u8"])
     np.testing.assert_array_equal(cat[7]["image_u8"], d2[4]["image_u8"])
+
+
+def test_loader_producer_thread_shuts_down_on_early_break():
+    """Breaking out of the batch iterator must not leak the producer thread
+    (explicit-shutdown parity with the reference's DataLoaderX protocol,
+    bg_dataloader.py:123-132)."""
+    import threading
+    import time as _time
+
+    ds = SyntheticDataset(size=64, img_size=16, second_size=None,
+                          max_text_len=8, patch_grid=2, num_mask_patches=2,
+                          min_mask_per_block=1)
+    loader = ShardedLoader(ds, batch_size=4, num_workers=2, prefetch=2,
+                           process_index=0, process_count=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    next(it)
+    del it  # abandon mid-epoch
+    deadline = _time.time() + 5
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before + 1  # producer drained/exited

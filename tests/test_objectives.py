@@ -298,3 +298,47 @@ def test_mpp_pipeline_and_loss():
     out = task.apply(variables, batch, rngs={"sample": jax.random.key(2)})
     assert np.isfinite(float(out["mpp_task_loss"]))
     assert int(out["mpp_count"]) == int(bmp.sum()) * 3
+
+
+def test_itm_dedup_path_matches_naive_fused_forward():
+    """The below-fusion dedup restructuring must be bit-equivalent (in
+    deterministic mode) to forwarding the full 3*bs pair batch."""
+    task = make_task(["itm"], phase=None)
+    batch = make_batch()
+    variables = init_task(task, batch)
+
+    bs = 4
+    rngk = np.random.default_rng(5)
+    neg_img_idx = jnp.asarray((np.arange(bs) + 1) % bs)
+    neg_txt_idx = jnp.asarray((np.arange(bs) + 2) % bs)
+    img, txt, mask = batch["image"], batch["text_ids"], batch["text_mask"]
+
+    def dedup_path(task_mod):
+        img_u = jnp.concatenate([img, img[neg_img_idx]], 0)
+        txt_u = jnp.concatenate([txt, txt[neg_txt_idx]], 0)
+        mask_u = jnp.concatenate([mask, mask[neg_txt_idx]], 0)
+        h_img = task_mod.stream_below_fusion(img=img_u)
+        h_txt = task_mod.stream_below_fusion(txt=txt_u, txt_mask=mask_u)
+        pair_img = jnp.concatenate([h_img[:bs], h_img[bs:], h_img[:bs]], 0)
+        pair_txt = jnp.concatenate([h_txt[:bs], h_txt[:bs], h_txt[bs:]], 0)
+        pair_mask = jnp.concatenate([mask, mask, mask[neg_txt_idx]], 0)
+        co, _ = task_mod.fuse_from_hidden(pair_img, pair_txt, pair_mask)
+        return task_mod.itm_logits(task_mod.pool_feats(co))
+
+    def naive_path(task_mod):
+        img_all = jnp.concatenate([img, img[neg_img_idx], img], 0)
+        txt_all = jnp.concatenate([txt, txt, txt[neg_txt_idx]], 0)
+        mask_all = jnp.concatenate([mask, mask, mask[neg_txt_idx]], 0)
+        infer = task_mod.infer(
+            {"image": img_all, "text_ids": txt_all, "text_mask": mask_all},
+            infer_mode="img-txt",
+        )
+        return task_mod.itm_logits(infer["cls_feats"])
+
+    from exploremultimodal_tpu.models.task import VlmoTask
+
+    logits_dedup = task.apply(variables, method=dedup_path)
+    logits_naive = task.apply(variables, method=naive_path)
+    np.testing.assert_allclose(
+        np.asarray(logits_dedup), np.asarray(logits_naive), rtol=1e-5, atol=1e-6
+    )
