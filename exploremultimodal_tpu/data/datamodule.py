@@ -152,10 +152,14 @@ class MultiTaskData:
             path = os.path.join(d.data_root, NLP_KEYS[key])
             if not os.path.exists(path):
                 return None
+            # NLP corpora pack to the model's position-embedding budget
+            # (the reference packs to 512 and expects model.max_text_len=512
+            # for pretrain_txt; keep them tied so embeddings never clamp)
             return TextCorpusDataset(
                 path, split=split,
                 tokenizer=self.tokenizer,
-                max_text_len=512,
+                max_text_len=d.get("nlp_max_text_len")
+                or self.cfg.model.max_text_len,
                 mlm_collator=self.mlm_collator,
             )
         tables = ARROW_TABLES.get(key, {}).get(split, [])

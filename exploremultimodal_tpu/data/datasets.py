@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import io
 import random
+import zlib
 from typing import Any, Callable, Sequence
 
 import numpy as np
@@ -151,10 +152,16 @@ class ImageTextArrowDataset:
             sample[col] = self.table[col][row].as_py()
         return sample
 
+    # epoch is set by the loader (ShardedLoader.set_epoch) so augmentations
+    # and masks differ every epoch; crc32 keeps per-sample seeds stable
+    # across processes and restarts (unlike hash(), which is salted)
+    epoch: int = 0
+
     def __getitem__(self, index: int) -> Sample:
         """Corrupt-sample fault tolerance: resample a random index on decode
         error (base_dataset.py:146-160)."""
-        rng = random.Random(hash((self.split, index)) & 0xFFFFFFFF)
+        seed = zlib.crc32(f"{self.split}:{index}:{self.epoch}".encode())
+        rng = random.Random(seed)
         for _ in range(10):
             try:
                 return self.get_sample(index, rng)

@@ -81,6 +81,14 @@ class ShardedLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        # per-epoch augmentation seeds (map-style datasets read .epoch)
+        stack = [self.dataset]
+        while stack:
+            ds = stack.pop()
+            if hasattr(ds, "datasets"):
+                stack.extend(ds.datasets)
+            elif hasattr(ds, "epoch"):
+                ds.epoch = epoch
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)

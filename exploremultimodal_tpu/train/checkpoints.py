@@ -60,12 +60,12 @@ def save(
 ) -> str:
     path = _ckpt_dir(output_dir, epoch)
     ckptr = ocp.StandardCheckpointer()
+    # hand orbax the jax.Arrays directly — it coordinates multi-host sharded
+    # saves itself; np.asarray would fail on non-addressable shards
     state_dict = serialization.to_state_dict(
-        jax.tree_util.tree_map(
-            lambda x: np.asarray(_unkey(x)), _arrays_only(state)
-        )
+        jax.tree_util.tree_map(_unkey, _arrays_only(state))
     )
-    if os.path.exists(path):
+    if os.path.exists(path) and jax.process_index() == 0:
         shutil.rmtree(path)
     ckptr.save(path, state_dict)
     ckptr.wait_until_finished()

@@ -137,8 +137,12 @@ class Trainer:
             params,
             self.optimizer,
             jax.random.key(cfg.seed + 7),
-            use_ema=cfg.get("vlmo_ema", False),
-            ema_decay=cfg.get("vlmo_ema_decay", 0.995),
+            use_ema=cfg.get("vlmo_ema", False) or cfg.get("model_ema", False),
+            ema_decay=(
+                cfg.get("model_ema_decay", 0.9999)
+                if cfg.get("model_ema", False)
+                else cfg.get("vlmo_ema_decay", 0.995)
+            ),
             queue_size=t.get("queue_size", 0) if t.get("neg_queue") else 0,
             itc_dim=cfg.model.itc_dim,
             isda_classes=(
@@ -199,24 +203,42 @@ class Trainer:
     def make_train_step(self):
         cfg = self.cfg
         accum = int(cfg.train.get("accumulation_steps", 1))
-        use_ema = cfg.get("vlmo_ema", False)
+        use_momentum = cfg.get("vlmo_ema", False)
+        use_ema = use_momentum or cfg.get("model_ema", False)
         use_queue = bool(cfg.train.get("neg_queue"))
         isda_lambda = float(cfg.train.get("isda_lambda", 0.0))
         total_epochs = int(cfg.train.epochs)
 
-        def loss_fn(params, model_batch, rngs, state: TrainState, epoch):
-            momentum_feats = None
-            queue = None
-            if use_ema and state.ema_params is not None:
-                momentum_feats = jax.lax.stop_gradient(
-                    self.task.apply(
-                        {"params": state.ema_params},
-                        model_batch,
-                        method=VlmoTask.itc_momentum_feats,
-                    )
+        if accum > 1 and (use_queue or isda_lambda):
+            raise NotImplementedError(
+                "accumulation_steps > 1 with neg_queue/ISDA is not supported: "
+                "the microbatch loop carries only scalar metrics, so queue and "
+                "ISDA state would silently never update"
+            )
+
+        def momentum_branch(state: TrainState, model_batch):
+            """EMA-encoder features for the ITC momentum mode. Computed once
+            per step outside the grad; the SAME features feed the loss and
+            the queue update (reference enqueues i_feat_m/t_feat_m,
+            objectives.py:158/464)."""
+            if not (use_momentum and state.ema_params is not None):
+                return None, None
+            momentum_feats = jax.lax.stop_gradient(
+                self.task.apply(
+                    {"params": state.ema_params},
+                    model_batch,
+                    method=VlmoTask.itc_momentum_feats,
                 )
-                if use_queue:
-                    queue = {"img": state.img_queue, "txt": state.txt_queue}
+            )
+            queue = (
+                {"img": state.img_queue, "txt": state.txt_queue}
+                if use_queue
+                else None
+            )
+            return momentum_feats, queue
+
+        def loss_fn(params, model_batch, rngs, state: TrainState, epoch,
+                    momentum_feats, queue):
             isda_ratio = (
                 isda_lambda * epoch / max(total_epochs, 1) if isda_lambda else 0.0
             )
@@ -235,6 +257,7 @@ class Trainer:
         def train_step(state: TrainState, batch: dict, epoch: jax.Array):
             rngs = state.step_rngs("dropout", "droppath", "sample")
             model_batch = self._model_batch(batch)
+            momentum_feats, queue = momentum_branch(state, model_batch)
 
             if accum > 1:
                 # scalar metrics averaged across microbatches ride the carry
@@ -250,8 +273,11 @@ class Trainer:
                         lambda v: v.reshape((accum, -1) + v.shape[1:])[i],
                         model_batch,
                     )
+                    micro_rngs = {
+                        k: jax.random.fold_in(r, i) for k, r in rngs.items()
+                    }
                     (loss, out), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                        state.params, mb, rngs, state, epoch
+                        state.params, mb, micro_rngs, state, epoch, None, None
                     )
                     met = metrics_of(out)
                     return (
@@ -268,7 +294,7 @@ class Trainer:
                     model_batch,
                 )
                 out_shapes = jax.eval_shape(
-                    lambda p: loss_fn(p, mb0, rngs, state, epoch)[1],
+                    lambda p: loss_fn(p, mb0, rngs, state, epoch, None, None)[1],
                     state.params,
                 )
                 met0 = {
@@ -287,7 +313,8 @@ class Trainer:
             else:
                 (loss, outputs), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
-                )(state.params, model_batch, rngs, state, epoch)
+                )(state.params, model_batch, rngs, state, epoch,
+                  momentum_feats, queue)
 
             updates, new_opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
@@ -301,11 +328,11 @@ class Trainer:
                 new_ema = ema_update(state.ema_params, new_params, state.ema_decay)
 
             img_q, txt_q, ptr = state.img_queue, state.txt_queue, state.queue_ptr
-            if use_queue and outputs and "itc_i_feat" in outputs:
+            if use_queue and momentum_feats is not None:
                 img_q, txt_q, ptr = queue_update(
                     img_q, txt_q, ptr,
-                    jax.lax.stop_gradient(outputs["itc_i_feat"]),
-                    jax.lax.stop_gradient(outputs["itc_t_feat"]),
+                    momentum_feats["i_feat_m"].astype(jnp.float32),
+                    momentum_feats["t_feat_m"].astype(jnp.float32),
                 )
 
             new_isda = outputs.get("isda_state", state.isda) if outputs else state.isda
@@ -330,6 +357,11 @@ class Trainer:
         return jax.jit(train_step, donate_argnums=(0,))
 
     def make_eval_step(self):
+        # cached: jit keys on callable identity, so a fresh wrapper per
+        # evaluate() would recompile every epoch
+        if getattr(self, "_eval_step", None) is not None:
+            return self._eval_step
+
         def eval_step(params, batch, rng):
             model_batch = self._model_batch(batch)
             outputs = self.task.apply(
@@ -351,7 +383,8 @@ class Trainer:
             }
             return metrics, counts, extra
 
-        return jax.jit(eval_step)
+        self._eval_step = jax.jit(eval_step)
+        return self._eval_step
 
     # ------------------------------------------------------------ train loop
 
@@ -392,12 +425,9 @@ class Trainer:
                 state, loader, train_step, epoch
             )
             val_stats = {}
-            try:
-                val_loader = self.data.val_loader()
-                if len(val_loader) > 0:
-                    val_stats = self.evaluate(state, val_loader)
-            except Exception as e:  # no val split configured
-                self.logger.debug(f"skipping eval: {e}")
+            val_loader = self.data.val_loader()
+            if len(val_loader) > 0:
+                val_stats = self.evaluate(state, val_loader)
 
             metric = val_stats.get(minimize, epoch_stats.get(minimize))
             is_best = best_metric is None or (
@@ -464,6 +494,13 @@ class Trainer:
     # ------------------------------------------------------------------ eval
 
     def evaluate(self, state, loader) -> dict:
+        """Count-weighted eval; with model_ema=true the EMA weights are
+        evaluated (reference model_ema flag, conf/config.yaml:127-129)."""
+        eval_params = (
+            state.ema_params
+            if self.cfg.get("model_ema", False) and state.ema_params is not None
+            else state.params
+        )
         eval_step = self.make_eval_step()
         sums: dict[str, float] = {}
         weights: dict[str, float] = {}
@@ -476,7 +513,7 @@ class Trainer:
         for batch in self.feeder(iter(loader)):
             rng, sub = jax.random.split(rng)
             arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
-            metrics, counts, extra = eval_step(state.params, arrays, sub)
+            metrics, counts, extra = eval_step(eval_params, arrays, sub)
             for k, v in metrics.items():
                 count_key = k.replace("_mean_acc", "_count").replace(
                     "_mean_score", "_count"

@@ -35,43 +35,59 @@ def _global_sum(values: np.ndarray) -> np.ndarray:
 
 
 class SmoothedValue:
-    """Tracks a windowed median/average plus a global (syncable) average."""
+    """Tracks a windowed median/average plus a global (syncable) average.
+
+    Device arrays are held lazily and materialized only when a statistic is
+    read (logging cadence) — a per-step float() would force a host-device
+    sync every iteration and break JAX async dispatch.
+    """
 
     def __init__(self, window_size: int = 20, fmt: str = "{median:.4f} ({global_avg:.4f})"):
-        self.deque: deque[float] = deque(maxlen=window_size)
+        self.deque: deque = deque(maxlen=window_size)
         self.total = 0.0
         self.count = 0
+        self._pending: list[tuple[object, int]] = []
         self.fmt = fmt
 
-    def update(self, value: float, n: int = 1) -> None:
-        self.deque.append(float(value))
-        self.count += n
-        self.total += float(value) * n
+    def update(self, value, n: int = 1) -> None:
+        self.deque.append(value)
+        self._pending.append((value, n))
+
+    def _flush(self) -> None:
+        for value, n in self._pending:
+            self.count += n
+            self.total += float(np.asarray(value)) * n
+        self._pending.clear()
+
+    def _window(self) -> list[float]:
+        return [float(np.asarray(v)) for v in self.deque]
 
     def synchronize_between_processes(self) -> None:
+        self._flush()
         summed = _global_sum(np.array([self.count, self.total], dtype=np.float64))
         self.count = int(summed[0])
         self.total = float(summed[1])
 
     @property
     def median(self) -> float:
-        return float(np.median(self.deque)) if self.deque else 0.0
+        return float(np.median(self._window())) if self.deque else 0.0
 
     @property
     def avg(self) -> float:
-        return float(np.mean(self.deque)) if self.deque else 0.0
+        return float(np.mean(self._window())) if self.deque else 0.0
 
     @property
     def global_avg(self) -> float:
+        self._flush()
         return self.total / max(self.count, 1)
 
     @property
     def max(self) -> float:
-        return max(self.deque) if self.deque else 0.0
+        return max(self._window()) if self.deque else 0.0
 
     @property
     def value(self) -> float:
-        return self.deque[-1] if self.deque else 0.0
+        return float(np.asarray(self.deque[-1])) if self.deque else 0.0
 
     def __str__(self) -> str:
         return self.fmt.format(
@@ -93,8 +109,7 @@ class MetricLogger:
         for k, v in kwargs.items():
             if v is None:
                 continue
-            if isinstance(v, (jnp.ndarray, jax.Array, np.ndarray)):
-                v = float(np.asarray(v))
+            # device arrays stay lazy (SmoothedValue materializes at read)
             self.meters[k].update(v, n=n)
 
     def __getattr__(self, attr: str) -> SmoothedValue:

