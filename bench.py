@@ -137,9 +137,9 @@ def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
             "data.num_workers=4",
             "train.discrete_vae_type=random",
             "compute_dtype=bfloat16",
-            # attention-prob dropout off → the Pallas flash kernel runs in
-            # training and the (B,H,N,N) prob tensors are never stored
-            # (recompute backward); hidden/droppath dropout stay on
+            # attention-prob dropout off (modern recipe; hidden/droppath
+            # dropout stay on); recompute attention never stores the
+            # (B,H,N,N) probs either way
             "model.attn_drop_rate=0.0",
             "train.warmup_steps=2",
             "exp_dir=/tmp/emm_bench",
@@ -148,7 +148,7 @@ def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
         batch_size, n_warmup, n_iters,
     )
     result["detail"]["losses"] = "mlm+itc+itm+mim (incl. dVAE tokenize)"
-    result["detail"]["attn"] = "pallas-flash (attn_drop 0)"
+    result["detail"]["attn"] = "recompute (attn_drop 0)"
     return result
 
 

@@ -5,18 +5,24 @@ scores = q @ kᵀ · scale, additive −inf at masked KEY positions (key-padding
 mask broadcast over heads and query positions), softmax, optional attention
 dropout, weighted sum of v. Softmax runs in fp32 regardless of compute dtype.
 
-Two implementations behind one signature:
-  'xla'     — plain einsum chain; XLA fuses it well at these sizes
-  'pallas'  — blockwise flash-attention TPU kernel (ops/flash_attention.py):
-              never materializes the (B, H, N, N) score matrix in HBM
-
-The Pallas path is used when impl='pallas', the sequence is worth tiling, and
-no attention dropout is requested (pretraining uses attn_drop=0.1, so the
-training fwd keeps XLA unless attn_drop is disabled; eval/inference always
-may use pallas).
+Three implementations behind one signature:
+  'recompute' — DEFAULT: the XLA einsum chain wrapped in jax.checkpoint, so
+                the backward re-derives the (B, H, N, N) probabilities
+                instead of storing them. Measured fastest on v5e at VLMo
+                shapes (XLA's fused fwd beats the hand kernel: 1.7-2.2 ms vs
+                2.5-4.0 ms per call) with flash-attention memory behavior;
+                supports attention dropout.
+  'xla'       — plain chain (stores probs for backward; batch-64 VLMo-Base
+                OOMs HBM this way — see BENCH.md)
+  'pallas'    — hand-written TPU kernels (ops/flash_attention.py): full-row
+                fused kernel ≤1024 tokens, k-blocked online-softmax beyond;
+                no dropout support (falls back to 'recompute' when dropout
+                is active in training)
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -41,30 +47,31 @@ def multi_head_attention(
     dropout_rate: float = 0.0,
     dropout_rng: jax.Array | None = None,
     deterministic: bool = True,
-    impl: str = "xla",
+    impl: str = "recompute",
 ) -> jax.Array:
     """q, k, v: (B, H, N, D_head) → (B, H, N, D_head)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
-    use_pallas = (
-        impl == "pallas"
-        and (deterministic or dropout_rate == 0.0)
-        and q.shape[-2] == k.shape[-2]
-    )
-    if use_pallas:
+    use_dropout = dropout_rate > 0.0 and not deterministic
+    if impl == "pallas" and not use_dropout and q.shape[-2] == k.shape[-2]:
         from exploremultimodal_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, bias=bias, scale=scale)
 
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    if bias is not None:
-        scores = scores + bias.astype(scores.dtype)
-    probs = jax.nn.softmax(scores, axis=-1)
-    if dropout_rate > 0.0 and not deterministic:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    probs = probs.astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    def core(q, k, v, bias, rng):
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if bias is not None:
+            scores = scores + bias.astype(scores.dtype)
+        probs = jax.nn.softmax(scores, axis=-1)
+        if use_dropout:
+            keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
+            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        probs = probs.astype(v.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+    if impl != "xla":  # 'recompute' (default) + pallas' dropout fallback
+        core = jax.checkpoint(core)
+    return core(q, k, v, bias, dropout_rng)

@@ -25,10 +25,53 @@ from jax.experimental.pallas import tpu as pltpu
 from exploremultimodal_tpu.ops.attention import NEG_INF
 
 BLOCK_Q = 128
+BLOCK_K = 512
+# sequences at or below this keep the simpler full-row kernel (K/V rows fit
+# VMEM comfortably); longer ones stream K/V blocks with online softmax
+LONG_SEQ_THRESHOLD = 1024
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _attn_long_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float
+):
+    """Online-softmax flash attention for long sequences: the grid's last
+    dimension walks K/V blocks sequentially, carrying the running max (m),
+    normalizer (l), and weighted accumulator in VMEM scratch that persists
+    across grid steps (TPU grids execute sequentially per core)."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
+    k = k_ref[0].astype(jnp.float32)  # (BK, D)
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias_ref[0]  # (BQ, BK)
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+    correction = jnp.exp(m_prev - m_new)
+    p = jnp.exp(scores - m_new)  # (BQ, BK)
+    v = v_ref[0].astype(jnp.float32)
+    acc_scr[:] = acc_scr[:] * correction + jnp.dot(
+        p, v, preferred_element_type=jnp.float32
+    )
+    l_scr[:] = l_scr[:] * correction + jnp.sum(p, axis=-1, keepdims=True)
+    m_scr[:] = m_new
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
@@ -123,6 +166,42 @@ def _flash_attention_fwd_kernel(
     vf = v.reshape(B * H, n_pad, D)
 
     n_q_blocks = n_pad // BLOCK_Q
+
+    if n_pad > LONG_SEQ_THRESHOLD:
+        n_k_blocks = n_pad // BLOCK_K if n_pad % BLOCK_K == 0 else None
+        bk = BLOCK_K if n_k_blocks else BLOCK_Q
+        n_k_blocks = n_k_blocks or (n_pad // BLOCK_Q)
+        out = pl.pallas_call(
+            functools.partial(_attn_long_kernel, scale=scale),
+            out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
+            grid=(B * H, n_q_blocks, n_k_blocks),
+            in_specs=[
+                pl.BlockSpec((1, BLOCK_Q, D), lambda bh, i, j: (bh, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, D), lambda bh, i, j: (bh, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, D), lambda bh, i, j: (bh, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bk), lambda bh, i, j, H=H: (bh // H, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, BLOCK_Q, D), lambda bh, i, j: (bh, i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+                pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+                pltpu.VMEM((BLOCK_Q, D), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=4 * B * H * n_pad * n_pad * D,
+                bytes_accessed=4 * B * H * n_pad * D * q.dtype.itemsize,
+                transcendentals=B * H * n_pad * n_pad,
+            ),
+            interpret=jax.default_backend() == "cpu",
+        )(qf, kf, vf, key_bias)
+        out = out.reshape(B, H, n_pad, D)
+        return out[:, :, :N, :] if n_pad != N else out
+
     grid = (B * H, n_q_blocks)
 
     out = pl.pallas_call(

@@ -104,3 +104,27 @@ def test_pallas_attention_gradients_match_xla():
     for a, b in zip(g_xla, g_pallas):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_long_sequence_flash_attention_matches_xla():
+    """N > 1024 takes the k-blocked online-softmax kernel; parity vs XLA."""
+    rng = np.random.default_rng(11)
+    N = 1536  # > LONG_SEQ_THRESHOLD, exercises 3 K-blocks of 512
+    q, k, v = _rand_qkv(rng, B=1, H=2, N=N, D=32)
+    mask = np.ones((1, N), np.int32)
+    mask[0, 1200:] = 0
+    bias = key_padding_bias(jnp.asarray(mask))
+    ref = multi_head_attention(q, k, v, bias=bias, impl="xla")
+    out = multi_head_attention(q, k, v, bias=bias, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    # gradients flow through the recompute backward at long N too
+    g = jax.grad(lambda q_: jnp.sum(
+        multi_head_attention(q_, k, v, bias=bias, impl="pallas") ** 2
+    ))(q)
+    g_ref = jax.grad(lambda q_: jnp.sum(
+        multi_head_attention(q_, k, v, bias=bias, impl="xla") ** 2
+    ))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-4)
