@@ -268,3 +268,30 @@ def test_text_corpus_packing(tmp_path):
     test = TextCorpusDataset(str(tmp_path / "corpus"), split="test",
                              tokenizer=tok, max_text_len=48)
     assert set(val.indices.tolist()).isdisjoint(test.indices.tolist())
+
+
+def test_experiment_logger_jsonl_and_summary(tmp_path):
+    """W&B-compatible sink (reference WandbLogger surface, utils.py:172-244):
+    min summary for *loss*, max for *acc*."""
+    import json
+
+    from exploremultimodal_tpu.config import load_config
+    from exploremultimodal_tpu.utils.experiment_log import ExperimentLogger
+
+    cfg = load_config([])
+    log = ExperimentLogger(cfg, str(tmp_path))
+    log.log(head="train", step=0, mlm_task_loss=2.0, mlm_mean_acc=0.1)
+    log.log(head="train", step=1, mlm_task_loss=1.0, mlm_mean_acc=0.3)
+    log.log(head="train", step=2, mlm_task_loss=1.5, mlm_mean_acc=0.2)
+    log.finish()
+
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert len(lines) == 3 and lines[1]["train/mlm_task_loss"] == 1.0
+    summary = json.load(open(tmp_path / "summary.json"))
+    assert summary["train/mlm_task_loss"] == 1.0  # min over run
+    assert summary["train/mlm_mean_acc"] == 0.3   # max over run
+
+    disabled = ExperimentLogger(cfg, str(tmp_path / "off"), enable=False)
+    disabled.log(head="x", y=1.0)
+    disabled.finish()
+    assert not (tmp_path / "off").exists()
