@@ -128,6 +128,21 @@ class NLVR2Classifier(nn.Module):
         return nn.Dense(2, dtype=self.dtype, name="fc2")(h)
 
 
+class MAEHead(nn.Module):
+    """Masked-autoencoder pixel decoder: hs → patch_size²·3 (the runnable
+    version of the reference's intended pretrain_vis objective,
+    train/pretrain/visual.py:199-232)."""
+
+    patch_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Dense(
+            self.patch_size * self.patch_size * 3, dtype=self.dtype, name="fc"
+        )(x)
+
+
 class RankHead(nn.Module):
     """IRTR rank output hs → 1 (vlmo_module.py:113-115)."""
 

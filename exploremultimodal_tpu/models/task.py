@@ -146,6 +146,8 @@ class VlmoTask(nn.Module):
             self.mim_head = H.MIMHead(vocab_size=c.img_vocab_size, dtype=c.dtype)
         if "mpp" in c.loss_names:
             self.mpp_head = H.MPPHead(dim=hs, norm_eps=c.norm_eps, dtype=c.dtype)
+        if "mae" in c.loss_names:
+            self.mae_head = H.MAEHead(patch_size=c.patch_size, dtype=c.dtype)
         if "vqa" in c.loss_names:
             self.vqa_classifier = H.VQAClassifier(
                 dim=hs, num_classes=c.vqa_label_size, norm_eps=c.norm_eps,
@@ -238,6 +240,9 @@ class VlmoTask(nn.Module):
 
     def mpp_logits(self, patch_feats: jax.Array) -> jax.Array:
         return self.mpp_head(patch_feats)
+
+    def mae_logits(self, patch_feats: jax.Array) -> jax.Array:
+        return self.mae_head(patch_feats)
 
     def vqa_logits(self, cls_feats: jax.Array, return_hidden: bool = False):
         return self.vqa_classifier(cls_feats, return_hidden=return_hidden)
@@ -356,6 +361,8 @@ class VlmoTask(nn.Module):
             ret.update(obj.compute_irtr(self, batch, deterministic))
         if "mpp" in names:
             ret.update(obj.compute_mpp(self, batch, deterministic))
+        if "mae" in names:
+            ret.update(obj.compute_mae(self, batch, deterministic))
         return ret
 
     def init_streams(self, batch: dict) -> dict:

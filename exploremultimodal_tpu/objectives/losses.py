@@ -466,6 +466,48 @@ def compute_mpp(task, batch: Batch, deterministic: bool = True) -> dict:
     return {"mpp_task_loss": loss, "mpp_mean_acc": acc, "mpp_count": count}
 
 
+# ------------------------------------------------------------------- MAE
+
+
+def patchify(images: jax.Array, patch_size: int) -> jax.Array:
+    """(B, H, W, C) → (B, num_patches, patch_size²·C), row-major patches
+    matching the patch-embedding conv's token order."""
+    B, H, W, C = images.shape
+    gh, gw = H // patch_size, W // patch_size
+    x = images.reshape(B, gh, patch_size, gw, patch_size, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, gh * gw, patch_size * patch_size * C)
+
+
+def compute_mae(task, batch: Batch, deterministic: bool = True) -> dict:
+    """MAE-style masked pixel regression: per-patch-normalized pixel targets,
+    MSE on masked patches only. The reference's pretrain_vis driver intends
+    exactly this (train/pretrain/visual.py:199-232: per-patch mean/var
+    normalize + masked MSE) but its loader is a stub; here it is a runnable
+    objective (loss name 'mae')."""
+    infer = task.infer(
+        batch, infer_mode="img_only", mask_img=True, deterministic=deterministic
+    )
+    patch_feats = infer["img_feats"][:, 1:]
+    pred = task.mae_logits(patch_feats)  # (B, P, patch²·3)
+
+    targets = patchify(
+        batch["image"].astype(jnp.float32), task.config.patch_size
+    )
+    mean = targets.mean(axis=-1, keepdims=True)
+    var = targets.var(axis=-1, keepdims=True)
+    targets = (targets - mean) / jnp.sqrt(var + 1e-6)
+
+    mask = batch["image_bool_masked_pos"].astype(jnp.float32)  # (B, P)
+    per_patch = ((pred.astype(jnp.float32) - targets) ** 2).mean(axis=-1)
+    count = mask.sum()
+    loss = (per_patch * mask).sum() / jnp.maximum(count, 1.0)
+    return {
+        "mae_task_loss": loss,
+        "mae_count": count,
+    }
+
+
 # ------------------------------------------------------------------ IRTR
 
 

@@ -157,10 +157,24 @@ class Trainer:
     def shard_state(self, state: TrainState) -> TrainState:
         p_specs = param_specs(state.params, self.preset, self.mesh)
         o_specs = opt_state_specs(state.opt_state, self.preset, self.mesh)
+        self._offload = bool(self.cfg.parallel.get("offload_opt_state", False))
+        self._opt_dev_shardings = to_shardings(o_specs, self.mesh)
+        if self._offload:
+            # optimizer state parks in pinned host memory (ZeRO-offload
+            # analogue); staged to HBM around the update inside the step
+            self._opt_host_shardings = jax.tree_util.tree_map(
+                lambda ns: NamedSharding(
+                    ns.mesh, ns.spec, memory_kind="pinned_host"
+                ),
+                self._opt_dev_shardings,
+                is_leaf=lambda x: isinstance(x, NamedSharding),
+            )
+        else:
+            self._opt_host_shardings = self._opt_dev_shardings
         self.state_shardings = TrainState(
             step=NamedSharding(self.mesh, P()),
             params=to_shardings(p_specs, self.mesh),
-            opt_state=to_shardings(o_specs, self.mesh),
+            opt_state=self._opt_host_shardings,
             rng=NamedSharding(self.mesh, P()),
             ema_params=(
                 to_shardings(p_specs, self.mesh)
@@ -316,9 +330,16 @@ class Trainer:
                 )(state.params, model_batch, rngs, state, epoch,
                   momentum_feats, queue)
 
+            opt_state = state.opt_state
+            if self._offload:
+                opt_state = jax.device_put(opt_state, self._opt_dev_shardings)
             updates, new_opt_state = self.optimizer.update(
-                grads, state.opt_state, state.params
+                grads, opt_state, state.params
             )
+            if self._offload:
+                new_opt_state = jax.device_put(
+                    new_opt_state, self._opt_host_shardings
+                )
             import optax
 
             new_params = optax.apply_updates(state.params, updates)

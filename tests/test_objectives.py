@@ -342,3 +342,46 @@ def test_itm_dedup_path_matches_naive_fused_forward():
     np.testing.assert_allclose(
         np.asarray(logits_dedup), np.asarray(logits_naive), rtol=1e-5, atol=1e-6
     )
+
+
+def test_mae_objective():
+    """MAE pixel regression (runnable pretrain_vis intent): masked-only MSE
+    on per-patch-normalized targets; patchify matches conv token order."""
+    from exploremultimodal_tpu.objectives.losses import patchify
+
+    # patchify ordering: distinct constant per patch survives roundtrip
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    img[0, :16, :16] = 1.0   # patch 0
+    img[0, :16, 16:] = 2.0   # patch 1
+    img[0, 16:, :16] = 3.0   # patch 2
+    img[0, 16:, 16:] = 4.0   # patch 3
+    p = np.asarray(patchify(jnp.asarray(img), 16))
+    np.testing.assert_allclose(p.mean(-1)[0], [1.0, 2.0, 3.0, 4.0])
+
+    task = make_task(["mae"], phase=None)
+    batch = make_batch()
+    variables = init_task(task, batch)
+    out = task.apply(variables, batch, rngs={"sample": jax.random.key(2)})
+    assert np.isfinite(float(out["mae_task_loss"]))
+    assert int(out["mae_count"]) == int(np.asarray(batch["image_bool_masked_pos"]).sum())
+
+    # pixels in UNMASKED patches must not affect the loss
+    img2 = np.asarray(batch["image"]).copy()
+    bmp = np.asarray(batch["image_bool_masked_pos"])
+    img2[:, 16:, 16:] = img2[:, 16:, 16:] + 1.0  # patch 3 (unmasked: bmp[:, :2]=1)
+    assert bmp[0, 3] == 0
+    out2 = task.apply(
+        variables, {**batch, "image": jnp.asarray(img2)},
+        rngs={"sample": jax.random.key(2)},
+    )
+    # NOTE: the encoder sees unmasked patches, so features (and predictions
+    # at masked positions) can shift; only check the loss stays finite and
+    # the target-side masking via a pure-target perturbation instead:
+    targets_only = np.asarray(batch["image"]).copy()
+    # changing MASKED patch pixels changes the loss (targets live there)
+    targets_only[:, :16, :16] = targets_only[:, :16, :16] * 2.0
+    out3 = task.apply(
+        variables, {**batch, "image": jnp.asarray(targets_only)},
+        rngs={"sample": jax.random.key(2)},
+    )
+    assert abs(float(out3["mae_task_loss"]) - float(out["mae_task_loss"])) > 1e-8

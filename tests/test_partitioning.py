@@ -101,3 +101,30 @@ def test_batch_specs_leading_dim():
     specs = batch_specs(batch)
     assert specs["image"] == P("data", None, None, None)
     assert specs["ids"] == P("data", None)
+
+
+def test_fsdp_offload_preset_loads_and_dp_unaffected(eight_devices):
+    """fsdp_offload preset (ZeRO-offload analogue): config loads; the
+    offload transfer path itself needs TPU pinned-host memory and is
+    smoke-verified on-chip (BENCH.md round notes)."""
+    from exploremultimodal_tpu.config import load_config
+
+    cfg = load_config(["parallel=fsdp_offload"])
+    assert cfg.parallel.offload_opt_state is True
+    assert cfg.parallel.shard_params is True
+
+    # non-offload presets keep device memory kinds end to end
+    from exploremultimodal_tpu.train.trainer import Trainer
+
+    cfg2 = load_config([
+        "model=vlmo_debug", "train=pretrain_txt", "train.datasets=[synthetic]",
+        "data.batch_size=8", "data.synthetic_size=8", "data.num_workers=1",
+        "model.img_size=32", "model.embed_dim=32", "model.num_heads=2",
+        "model.max_text_len=8", "model.drop_rate=0.0",
+        "model.attn_drop_rate=0.0", "model.drop_path_rate=0.0",
+        "data.num_mask_patches=2", "data.min_mask_patches_per_block=1",
+        "compute_dtype=float32", "exp_dir=/tmp/emm_presets",
+    ])
+    trainer = Trainer(cfg2)
+    state = trainer.init_state(next(iter(trainer.data.train_loader())))
+    assert trainer._offload is False
