@@ -152,14 +152,21 @@ class MultiTaskData:
             path = os.path.join(d.data_root, NLP_KEYS[key])
             if not os.path.exists(path):
                 return None
-            # NLP corpora pack to the model's position-embedding budget
-            # (the reference packs to 512 and expects model.max_text_len=512
-            # for pretrain_txt; keep them tied so embeddings never clamp)
+            # reference packs NLP corpora to 512 tokens; the model's position
+            # table must cover it — fail loudly rather than silently packing
+            # to 40 or clamping position embeddings
+            nlp_len = int(d.get("nlp_max_text_len") or 512)
+            if nlp_len > self.cfg.model.max_text_len:
+                raise ValueError(
+                    f"NLP corpora pack to {nlp_len} tokens but "
+                    f"model.max_text_len={self.cfg.model.max_text_len}; launch "
+                    f"pretrain_txt with model.max_text_len={nlp_len} (or set "
+                    f"data.nlp_max_text_len)"
+                )
             return TextCorpusDataset(
                 path, split=split,
                 tokenizer=self.tokenizer,
-                max_text_len=d.get("nlp_max_text_len")
-                or self.cfg.model.max_text_len,
+                max_text_len=nlp_len,
                 mlm_collator=self.mlm_collator,
             )
         tables = ARROW_TABLES.get(key, {}).get(split, [])

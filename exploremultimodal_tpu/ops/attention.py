@@ -22,8 +22,6 @@ Three implementations behind one signature:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

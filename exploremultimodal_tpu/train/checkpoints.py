@@ -67,6 +67,10 @@ def save(
     )
     if os.path.exists(path) and jax.process_index() == 0:
         shutil.rmtree(path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ckpt_rmtree")
     ckptr.save(path, state_dict)
     ckptr.wait_until_finished()
     if jax.process_index() == 0:
@@ -141,8 +145,17 @@ def auto_load(
 
     epoch, path = candidates[-1]
     ckptr = ocp.StandardCheckpointer()
+
+    def abstract(x):
+        # sharding-aware template: multi-host restore loads each process's
+        # shards directly (np.asarray would crash on non-addressable arrays)
+        x = _unkey(x)
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return np.asarray(x)
+
     template = serialization.to_state_dict(
-        jax.tree_util.tree_map(lambda x: np.asarray(_unkey(x)), state)
+        jax.tree_util.tree_map(abstract, state)
     )
     restored = ckptr.restore(os.path.abspath(path), template)
 

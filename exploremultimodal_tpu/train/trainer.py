@@ -75,7 +75,17 @@ class Trainer:
             self.output_dir, jax.process_index(), level=cfg.get("log_level", "info")
         )
         self.mesh = create_mesh(cfg)
-        self.preset = cfg.parallel.get("name", "dp")
+        # canonical sharding preset derived from the yaml FLAGS, so custom
+        # presets (e.g. fsdp_offload) inherit the right partition rules
+        par = cfg.parallel
+        if par.get("tensor_parallel"):
+            self.preset = "tp"
+        elif par.get("shard_params"):
+            self.preset = "fsdp"
+        elif par.get("shard_opt_state"):
+            self.preset = "zero1"
+        else:
+            self.preset = "dp"
         self.task: VlmoTask = build_model(cfg)
 
         self.dvae = None
@@ -132,6 +142,12 @@ class Trainer:
         self.steps_per_epoch = steps_per_epoch
         self.optimizer, self.schedule = create_optimizer(cfg, params, steps_per_epoch)
 
+        if cfg.get("vlmo_ema") and cfg.get("model_ema"):
+            raise ValueError(
+                "vlmo_ema (ITC momentum encoder, decay 0.995) and model_ema "
+                "(eval EMA, decay 0.9999) share one EMA tree here and are "
+                "mutually exclusive — enable only one"
+            )
         t = cfg.train
         state = create_train_state(
             params,
@@ -223,11 +239,12 @@ class Trainer:
         isda_lambda = float(cfg.train.get("isda_lambda", 0.0))
         total_epochs = int(cfg.train.epochs)
 
-        if accum > 1 and (use_queue or isda_lambda):
+        if accum > 1 and (use_momentum or use_queue or isda_lambda):
             raise NotImplementedError(
-                "accumulation_steps > 1 with neg_queue/ISDA is not supported: "
-                "the microbatch loop carries only scalar metrics, so queue and "
-                "ISDA state would silently never update"
+                "accumulation_steps > 1 with vlmo_ema/neg_queue/ISDA is not "
+                "supported: the microbatch loop carries only scalar metrics, "
+                "so momentum features, queues, and ISDA state would silently "
+                "drop out of the loss"
             )
 
         def momentum_branch(state: TrainState, model_batch):

@@ -260,7 +260,7 @@ def test_text_corpus_packing(tmp_path):
     )
     assert "[SEP]" in decoded  # packed segments joined by [SEP]
     assert s["text_mask"].sum() > 10  # budget actually filled
-    assert (s["text_labels_mlm"] != -100).any() or True
+    assert s["text_labels_mlm"].shape == (48,)
 
     # splits are deterministic and disjoint
     val = TextCorpusDataset(str(tmp_path / "corpus"), split="val",

@@ -104,14 +104,36 @@ def test_batch_specs_leading_dim():
 
 
 def test_fsdp_offload_preset_loads_and_dp_unaffected(eight_devices):
-    """fsdp_offload preset (ZeRO-offload analogue): config loads; the
-    offload transfer path itself needs TPU pinned-host memory and is
-    smoke-verified on-chip (BENCH.md round notes)."""
+    """fsdp_offload preset (ZeRO-offload analogue): the trainer canonicalizes
+    presets from the yaml FLAGS, so fsdp_offload must actually shard params
+    over the fsdp axis (the offload transfer itself needs TPU pinned-host
+    memory and is smoke-verified on-chip — BENCH.md round notes)."""
     from exploremultimodal_tpu.config import load_config
 
     cfg = load_config(["parallel=fsdp_offload"])
     assert cfg.parallel.offload_opt_state is True
     assert cfg.parallel.shard_params is True
+
+    from exploremultimodal_tpu.train.trainer import Trainer
+
+    cfg_sh = load_config([
+        "model=vlmo_debug", "train=pretrain_txt", "train.datasets=[synthetic]",
+        "parallel=fsdp_offload", "parallel.offload_opt_state=false",
+        "runtime.mesh.data=4", "runtime.mesh.fsdp=2",
+        "data.batch_size=8", "data.synthetic_size=8", "data.num_workers=1",
+        "model.img_size=32", "model.embed_dim=64", "model.num_heads=2",
+        "model.max_text_len=8", "model.drop_rate=0.0",
+        "model.attn_drop_rate=0.0", "model.drop_path_rate=0.0",
+        "data.num_mask_patches=2", "data.min_mask_patches_per_block=1",
+        "compute_dtype=float32", "exp_dir=/tmp/emm_offload_shard",
+    ])
+    tr = Trainer(cfg_sh)
+    assert tr.preset == "fsdp"  # flags canonicalize the preset
+    state = tr.init_state(next(iter(tr.data.train_loader())))
+    specs = {
+        s.spec for s in jax.tree.leaves(tr.state_shardings.params)
+    }
+    assert any(s != P() for s in specs)  # something actually sharded
 
     # non-offload presets keep device memory kinds end to end
     from exploremultimodal_tpu.train.trainer import Trainer
