@@ -256,3 +256,17 @@ def test_grad_accumulation_metrics_and_equivalence(tmp_path):
     assert "mlm_task_loss" in metrics
     assert np.isfinite(float(metrics["mlm_task_loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_checkpoint_scan_across_timestamped_subruns(tmp_path):
+    """auto-resume scans timestamped subrun dirs under the experiment root
+    (reference utils.py:549-560 glob behavior)."""
+    from exploremultimodal_tpu.train import checkpoints as ckpt_lib
+
+    exp = tmp_path / "exp"
+    (exp / "20260101-000000" / "checkpoint-3").mkdir(parents=True)
+    (exp / "20260102-000000" / "checkpoint-5").mkdir(parents=True)
+    (exp / "checkpoint-1").mkdir()
+    hits = ckpt_lib._scan(str(exp))
+    assert [e for e, _ in hits] == [1, 3, 5]
+    assert hits[-1][1].endswith("20260102-000000/checkpoint-5")
