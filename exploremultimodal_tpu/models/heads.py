@@ -143,6 +143,18 @@ class MAEHead(nn.Module):
         )(x)
 
 
+class ImgClsHead(nn.Module):
+    """Image-classification head over pooled features (finetune_vis surface;
+    reference compute_imgcls, objectives.py:862-882)."""
+
+    num_classes: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)
+
+
 class RankHead(nn.Module):
     """IRTR rank output hs → 1 (vlmo_module.py:113-115)."""
 

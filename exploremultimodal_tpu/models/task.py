@@ -49,6 +49,7 @@ class VlmoConfig:
     img_vocab_size: int = 8192
     itc_dim: int = 256
     itc_temp: float = 0.07
+    num_classes: int = 0
 
     # task (conf/train/*.yaml)
     phase: str | None = None
@@ -89,6 +90,7 @@ class VlmoConfig:
             img_vocab_size=m.img_vocab_size,
             itc_dim=m.itc_dim,
             itc_temp=m.itc_temp,
+            num_classes=int(m.get("num_classes", 0)),
             phase=t.phase,
             loss_names=tuple(t.loss_names),
             vqa_label_size=cfg.data.get("vqav2_label_size", 3129),
@@ -159,6 +161,10 @@ class VlmoTask(nn.Module):
             )
         if "irtr" in c.loss_names:
             self.rank_output = H.RankHead(dtype=c.dtype)
+        if "imgcls" in c.loss_names:
+            self.img_classifier = H.ImgClsHead(
+                num_classes=c.num_classes or 1000, dtype=c.dtype
+            )
 
     # -------------------------------------------------------------- infer
 
@@ -255,6 +261,9 @@ class VlmoTask(nn.Module):
 
     def rank_logits(self, cls_feats: jax.Array) -> jax.Array:
         return self.rank_output(cls_feats)
+
+    def imgcls_logits(self, cls_feats: jax.Array) -> jax.Array:
+        return self.img_classifier(cls_feats)
 
     def stream_below_fusion(self, img=None, txt=None, txt_mask=None,
                             deterministic=True):
@@ -363,6 +372,8 @@ class VlmoTask(nn.Module):
             ret.update(obj.compute_mpp(self, batch, deterministic))
         if "mae" in names:
             ret.update(obj.compute_mae(self, batch, deterministic))
+        if "imgcls" in names:
+            ret.update(obj.compute_imgcls(self, batch, deterministic))
         return ret
 
     def init_streams(self, batch: dict) -> dict:

@@ -508,6 +508,24 @@ def compute_mae(task, batch: Batch, deterministic: bool = True) -> dict:
     }
 
 
+# ---------------------------------------------------------------- IMGCLS
+
+
+def compute_imgcls(task, batch: Batch, deterministic: bool = True) -> dict:
+    """Image classification over pooled fused features (compute_imgcls,
+    objectives.py:862-882 — written against a legacy interface there; runnable
+    here for the finetune_vis surface)."""
+    infer = task.infer(batch, infer_mode="img-txt", deterministic=deterministic)
+    logits = task.imgcls_logits(infer["cls_feats"])
+    labels = batch["label"].astype(jnp.int32)
+    loss, acc, count = masked_cross_entropy(logits, labels, jnp.ones_like(labels))
+    return {
+        "imgcls_task_loss": loss,
+        "imgcls_mean_acc": acc,
+        "imgcls_count": count,
+    }
+
+
 # ------------------------------------------------------------------ IRTR
 
 

@@ -385,3 +385,19 @@ def test_mae_objective():
         rngs={"sample": jax.random.key(2)},
     )
     assert abs(float(out3["mae_task_loss"]) - float(out["mae_task_loss"])) > 1e-8
+
+
+def test_imgcls_objective():
+    task = make_task(["imgcls"], phase=None, num_classes=7)
+    batch = make_batch()
+    batch["label"] = jnp.asarray(np.random.default_rng(0).integers(0, 7, (4,)))
+    variables = init_task(task, batch)
+    out = task.apply(variables, batch, rngs={"sample": jax.random.key(2)})
+    assert np.isfinite(float(out["imgcls_task_loss"]))
+    assert int(out["imgcls_count"]) == 4
+    # labels matter
+    out2 = task.apply(
+        variables, {**batch, "label": (batch["label"] + 1) % 7},
+        rngs={"sample": jax.random.key(2)},
+    )
+    assert abs(float(out["imgcls_task_loss"]) - float(out2["imgcls_task_loss"])) > 1e-8
