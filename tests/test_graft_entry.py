@@ -1,12 +1,15 @@
-"""Driver contract: entry() compiles and runs; dryrun_multichip covered by
-the driver itself (and exercised manually on the 8-device CPU mesh)."""
+"""Driver contract: entry() compiles and runs; dryrun_multichip provisions
+its own virtual CPU mesh and runs a full sharded train step."""
 
+import os
+import subprocess
 import sys
 from pathlib import Path
 
 import jax
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
 
 
 def test_entry_compiles_and_runs():
@@ -18,3 +21,36 @@ def test_entry_compiles_and_runs():
     import numpy as np
 
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+
+def test_dryrun_multichip_inprocess():
+    """Conftest already provisions 8 fake CPU devices, so this runs the
+    real sharded step in-process (the fast path of dryrun_multichip)."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_driver_style():
+    """Call it the way the driver does: a fresh python with no virtual-mesh
+    env, so dryrun_multichip must self-provision the CPU mesh in a
+    subprocess (MULTICHIP_r01.json failure mode)."""
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "_EMM_DRYRUN_CHILD")
+    }
+    # keep the test hermetic + fast: stay off any real accelerator and give
+    # the child exactly ONE visible device so the self-provision path fires
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g\n"
+         "g.dryrun_multichip(8)\n"],
+        cwd=str(REPO_ROOT),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert res.returncode == 0, f"stdout={res.stdout}\nstderr={res.stderr}"
+    assert "dryrun_multichip OK" in res.stdout + res.stderr
