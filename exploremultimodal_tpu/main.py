@@ -38,30 +38,36 @@ def setup(overrides: list[str]):
     cfg = load_config(overrides)
     initialize_runtime(cfg)
 
-    # output dir: output/<phase>/<model>/<tag>/<timestamp> (main.py:102-105)
+    # Directory scheme (reference main.py:102-105 + utils.py auto_load_model):
+    #   exp_dir = output/<phase>/<model>/<tag>      — stable across restarts;
+    #             auto-resume scans exp_dir/**/checkpoint-* so a relaunched
+    #             run finds earlier timestamps' checkpoints
+    #   run_dir = exp_dir/<timestamp>               — this run's checkpoints,
+    #             logs, and config/code snapshots
     if not cfg.get("exp_dir"):
-        stamp = time.strftime("%Y%m%d-%H%M%S")
         cfg.exp_dir = os.path.join(
             cfg.get("output_dir", "output"),
             cfg.train.phase,
             cfg.model.name,
             str(cfg.get("tag", "default")),
-            stamp,
         )
+    if not cfg.get("run_dir"):
+        stamp = time.strftime("%Y%m%d-%H%M%S")
+        cfg.run_dir = os.path.join(cfg.exp_dir, stamp)
     if jax.process_index() == 0:
-        os.makedirs(cfg.exp_dir, exist_ok=True)
+        os.makedirs(cfg.run_dir, exist_ok=True)
 
     logger = create_logger(
-        cfg.exp_dir, jax.process_index(), level=cfg.get("log_level", "info")
+        cfg.run_dir, jax.process_index(), level=cfg.get("log_level", "info")
     )
 
     if jax.process_index() == 0:
-        with open(os.path.join(cfg.exp_dir, "config.yaml"), "w") as f:
+        with open(os.path.join(cfg.run_dir, "config.yaml"), "w") as f:
             f.write(cfg.to_yaml())
-        _snapshot_code(cfg.exp_dir)
+        _snapshot_code(cfg.run_dir)
 
     logger.info(f"devices: {jax.device_count()} ({jax.devices()[0].platform})")
-    logger.info(f"exp_dir: {cfg.exp_dir}")
+    logger.info(f"exp_dir: {cfg.exp_dir}  run_dir: {cfg.run_dir}")
     return cfg, logger
 
 
@@ -96,7 +102,7 @@ def main(argv: list[str] | None = None) -> int:
     import jax
 
     if jax.process_index() == 0:
-        with open(os.path.join(cfg.exp_dir, "config.yaml"), "w") as f:
+        with open(os.path.join(cfg.run_dir, "config.yaml"), "w") as f:
             f.write(cfg.to_yaml())
     if isinstance(result, dict) and "best_metric" in result:
         logger.info(f"best metric: {result['best_metric']}")

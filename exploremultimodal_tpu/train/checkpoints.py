@@ -56,8 +56,13 @@ def save(
     epoch: int,
     *,
     is_best: bool = False,
+    scan_root: str | None = None,
     logger=None,
 ) -> str:
+    """Save checkpoint-{epoch} under output_dir (the run dir). Retention
+    (keep latest+best, remove_models semantics) is applied under scan_root —
+    the tag-level exp_dir — so stale checkpoints from earlier timestamped
+    subruns are cleaned too."""
     path = _ckpt_dir(output_dir, epoch)
     ckptr = ocp.StandardCheckpointer()
     # hand orbax the jax.Arrays directly — it coordinates multi-host sharded
@@ -83,7 +88,7 @@ def save(
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
-        _apply_retention(output_dir, keep_epoch=epoch, logger=logger)
+        _apply_retention(scan_root or output_dir, keep_epoch=epoch, logger=logger)
     if logger:
         logger.info(f"saved checkpoint {path}" + (" (best)" if is_best else ""))
     return path

@@ -52,7 +52,7 @@ def _run_trainer(cfg, logger) -> Any:
         state = trainer.init_state(batch)
         from exploremultimodal_tpu.train import checkpoints as ckpt_lib
 
-        restored = ckpt_lib.auto_load(trainer.output_dir, state, cfg, logger=logger)
+        restored = ckpt_lib.auto_load(trainer.exp_dir, state, cfg, logger=logger)
         if restored is not None:
             state, _ = restored
         stats = trainer.evaluate(state, loader)

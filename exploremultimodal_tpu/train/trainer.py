@@ -70,7 +70,14 @@ def _metrics_from_outputs(outputs: dict) -> dict:
 class Trainer:
     def __init__(self, cfg: Any, logger=None):
         self.cfg = cfg
-        self.output_dir = cfg.get("exp_dir") or cfg.get("output_dir", "output")
+        # output_dir = this run's dir (checkpoints/logs); exp_dir = the
+        # stable tag-level dir auto-resume scans across timestamped subruns
+        # (reference main.py:102-105 + utils.py auto_load_model)
+        self.output_dir = (
+            cfg.get("run_dir") or cfg.get("exp_dir")
+            or cfg.get("output_dir", "output")
+        )
+        self.exp_dir = cfg.get("exp_dir") or self.output_dir
         self.logger = logger or create_logger(
             self.output_dir, jax.process_index(), level=cfg.get("log_level", "info")
         )
@@ -443,7 +450,7 @@ class Trainer:
         start_epoch = int(cfg.train.get("start_epoch", 0))
         if cfg.train.get("auto_resume", True):
             restored = ckpt_lib.auto_load(
-                self.output_dir, state, cfg, logger=self.logger
+                self.exp_dir, state, cfg, logger=self.logger
             )
             if restored is not None:
                 state, start_epoch = restored
@@ -477,7 +484,8 @@ class Trainer:
             if (epoch + 1) % int(cfg.train.get("save_freq", 1)) == 0:
                 ckpt_lib.save(
                     self.output_dir, state, cfg, epoch,
-                    is_best=is_best, logger=self.logger,
+                    is_best=is_best, scan_root=self.exp_dir,
+                    logger=self.logger,
                 )
             stats = {"epoch": epoch, **epoch_stats,
                      **{f"val_{k}": v for k, v in val_stats.items()}}

@@ -258,6 +258,55 @@ def test_grad_accumulation_metrics_and_equivalence(tmp_path):
     assert np.isfinite(float(metrics["grad_norm"]))
 
 
+def test_restart_resumes_across_new_timestamp(tmp_path):
+    """A relaunched run gets a fresh run_dir under the same tag-level
+    exp_dir and must resume from the previous run's checkpoints (the
+    reference's exp_dir/*/checkpoint-* glob; round-1 advisor high finding:
+    timestamp inside exp_dir silently broke auto-resume)."""
+    from exploremultimodal_tpu.train.trainer import Trainer
+
+    exp = str(tmp_path / "exp")
+    cfg1 = load_config(
+        TINY_OVERRIDES
+        + ["train=pretrain_txt", f"exp_dir={exp}",
+           f"run_dir={exp}/20260101-000000", "train.epochs=1"]
+    )
+    result1 = Trainer(cfg1).train()
+    steps_run1 = int(result1["state"].step)
+    assert steps_run1 > 0
+    assert os.path.isdir(os.path.join(exp, "20260101-000000", "checkpoint-0"))
+
+    # relaunch: new timestamp, same exp_dir — must pick up epoch 0's ckpt
+    cfg2 = load_config(
+        TINY_OVERRIDES
+        + ["train=pretrain_txt", f"exp_dir={exp}",
+           f"run_dir={exp}/20260102-000000", "train.epochs=1"]
+    )
+    result2 = Trainer(cfg2).train()
+    # resumed at epoch 1 == epochs → nothing left to train
+    assert result2["history"] == []
+    assert int(result2["state"].step) == steps_run1
+
+    # a third run with one more epoch continues from the restored state
+    cfg3 = load_config(
+        TINY_OVERRIDES
+        + ["train=pretrain_txt", f"exp_dir={exp}",
+           f"run_dir={exp}/20260103-000000", "train.epochs=2"]
+    )
+    result3 = Trainer(cfg3).train()
+    assert len(result3["history"]) == 1  # only epoch 1
+    assert int(result3["state"].step) == 2 * steps_run1
+    # retention at the exp_dir level: the new latest (epoch 1) kept, and
+    # epoch-0 removed unless best — epoch 0 WAS best, so both survive
+    names = sorted(
+        os.path.basename(p)
+        for p in __import__("glob").glob(
+            os.path.join(exp, "*", "checkpoint-*")
+        )
+    )
+    assert "checkpoint-1" in names
+
+
 def test_checkpoint_scan_across_timestamped_subruns(tmp_path):
     """auto-resume scans timestamped subrun dirs under the experiment root
     (reference utils.py:549-560 glob behavior)."""
