@@ -148,31 +148,52 @@ class ShardedLoader:
 
 class DeviceFeeder:
     """Double-buffered host→device staging (DataLoaderX parity,
-    bg_dataloader.py:101-121): batch k+1 transfers while batch k computes."""
+    bg_dataloader.py:101-121): batch k+1 transfers while batch k computes.
 
-    def __init__(self, mesh: Mesh | None = None, data_axis: str = "data"):
+    Batches shard over the ('data','fsdp') axes jointly — under FSDP presets
+    the fsdp axis also carries data parallelism (standard ZeRO semantics), so
+    no device computes a redundant batch slice. With multiple JAX processes,
+    each host's local slice is assembled into the global batch via
+    jax.make_array_from_process_local_data (a plain device_put would treat
+    the local slice as the GLOBAL value — round-1 advisor finding)."""
+
+    def __init__(self, mesh: Mesh | None = None,
+                 batch_axes: tuple[str, ...] = ("data", "fsdp")):
         self.mesh = mesh
-        self.data_axis = data_axis
+        self.batch_axes = (
+            tuple(a for a in batch_axes if mesh is None or a in mesh.shape)
+            or ("data",)
+        )
+
+    def _sharding(self, v) -> NamedSharding:
+        shard_size = int(
+            np.prod([self.mesh.shape[a] for a in self.batch_axes])
+        )
+        global_rows = v.shape[0] * (
+            jax.process_count() if jax.process_count() > 1 else 1
+        )
+        # batches not divisible by the batch axes (small eval tails)
+        # replicate instead of sharding
+        if v.ndim >= 1 and global_rows % shard_size == 0:
+            return NamedSharding(
+                self.mesh, P(self.batch_axes, *([None] * (v.ndim - 1)))
+            )
+        return NamedSharding(self.mesh, P())
 
     def _put(self, batch: dict) -> dict:
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
         if self.mesh is None:
             staged = jax.device_put(arrays)
-        else:
-            data_size = self.mesh.shape[self.data_axis]
-
-            def sharding(v):
-                # batches not divisible by the data axis (small eval tails)
-                # replicate instead of sharding
-                if v.ndim >= 1 and v.shape[0] % data_size == 0:
-                    return NamedSharding(
-                        self.mesh, P(self.data_axis, *([None] * (v.ndim - 1)))
-                    )
-                return NamedSharding(self.mesh, P())
-
+        elif jax.process_count() > 1:
             staged = {
-                k: jax.device_put(v, sharding(v)) for k, v in arrays.items()
+                k: jax.make_array_from_process_local_data(self._sharding(v), v)
+                for k, v in arrays.items()
+            }
+        else:
+            staged = {
+                k: jax.device_put(v, self._sharding(v))
+                for k, v in arrays.items()
             }
         staged.update(rest)
         return staged

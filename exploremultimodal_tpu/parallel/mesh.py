@@ -43,6 +43,46 @@ def initialize_runtime(cfg: Any) -> None:
         )
 
 
+def _reconcile_with_preset(cfg: Any, data: int, fsdp: int, tensor: int):
+    """Derive mesh axis sizes from the parallel preset's flags.
+
+    Selecting `parallel=fsdp` (etc.) must actually shard: when the preset
+    requests param/opt-state/tensor sharding but the user left the matching
+    mesh axis at its default of 1 (with `data: -1` absorbing everything), the
+    sharding axis takes all devices instead. Explicit runtime.mesh overrides
+    always win; a pinned axis of 1 combined with a sharding flag draws a
+    warning rather than silently degenerating to pure DP (round-1 advisor
+    finding). Batches shard over ('data','fsdp') jointly (pipeline.py), so
+    fsdp=-1/data=1 is standard ZeRO: full data parallelism + state sharding
+    over the same devices.
+    """
+    par = cfg.get("parallel", {}) or {}
+    wants_fsdp_axis = bool(par.get("shard_params") or par.get("shard_opt_state"))
+    wants_tensor_axis = bool(par.get("tensor_parallel"))
+
+    if wants_tensor_axis and tensor == 1:
+        if data == -1 and fsdp == 1:
+            tensor, data = -1, 1
+        else:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "parallel preset requests tensor parallelism but "
+                "runtime.mesh.tensor=1 — nothing will be tensor-sharded"
+            )
+    elif wants_fsdp_axis and fsdp == 1:
+        if data == -1:
+            fsdp, data = -1, 1
+        else:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "parallel preset requests param/opt-state sharding but "
+                "runtime.mesh.fsdp=1 — nothing will be sharded"
+            )
+    return data, fsdp, tensor
+
+
 def create_mesh(
     cfg: Any = None,
     *,
@@ -62,6 +102,7 @@ def create_mesh(
         data = mesh_cfg.get(DATA_AXIS, data)
         fsdp = mesh_cfg.get(FSDP_AXIS, fsdp)
         tensor = mesh_cfg.get(TENSOR_AXIS, tensor)
+        data, fsdp, tensor = _reconcile_with_preset(cfg, data, fsdp, tensor)
 
     devices = devices if devices is not None else jax.devices()
     n = len(devices)

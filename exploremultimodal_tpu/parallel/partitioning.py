@@ -107,7 +107,10 @@ def to_shardings(spec_tree: Any, mesh: Mesh) -> Any:
 
 
 def batch_specs(batch: Any) -> Any:
-    """Shard every batch array on its leading (batch) dim over `data`."""
+    """Shard every batch array on its leading (batch) dim over the joint
+    ('data','fsdp') axes — the fsdp axis carries data parallelism too
+    (standard ZeRO: state sharded over the same devices that split the
+    batch)."""
     return jax.tree_util.tree_map(
-        lambda v: P(DATA_AXIS, *([None] * (v.ndim - 1))), batch
+        lambda v: P((DATA_AXIS, FSDP_AXIS), *([None] * (v.ndim - 1))), batch
     )

@@ -99,8 +99,55 @@ def test_sharded_update_matches_dense(eight_devices):
 def test_batch_specs_leading_dim():
     batch = {"image": jnp.zeros((8, 4, 4, 3)), "ids": jnp.zeros((8, 12))}
     specs = batch_specs(batch)
-    assert specs["image"] == P("data", None, None, None)
-    assert specs["ids"] == P("data", None)
+    assert specs["image"] == P(("data", "fsdp"), None, None, None)
+    assert specs["ids"] == P(("data", "fsdp"), None)
+
+
+def test_preset_derives_mesh_axes(eight_devices):
+    """parallel=fsdp with default mesh must actually shard: the fsdp axis
+    takes all devices (round-1 advisor finding: preset flags and mesh were
+    never reconciled, so `parallel=fsdp` silently degenerated to DP)."""
+    from exploremultimodal_tpu.config import load_config
+
+    cfg = load_config(["parallel=fsdp"])
+    mesh = create_mesh(cfg)
+    assert mesh.shape["fsdp"] == 8 and mesh.shape["data"] == 1
+
+    cfg = load_config(["parallel=zero1"])
+    mesh = create_mesh(cfg)
+    assert mesh.shape["fsdp"] == 8 and mesh.shape["data"] == 1
+
+    cfg = load_config(["parallel=tp"])
+    mesh = create_mesh(cfg)
+    assert mesh.shape["tensor"] == 8 and mesh.shape["data"] == 1
+
+    # explicit mesh overrides always win
+    cfg = load_config(
+        ["parallel=fsdp", "runtime.mesh.data=4", "runtime.mesh.fsdp=2"]
+    )
+    mesh = create_mesh(cfg)
+    assert mesh.shape == {"data": 4, "fsdp": 2, "tensor": 1}
+
+    # dp untouched: data absorbs everything
+    cfg = load_config(["parallel=dp"])
+    mesh = create_mesh(cfg)
+    assert mesh.shape["data"] == 8
+
+
+def test_fsdp_batch_shards_over_fsdp_axis(eight_devices):
+    """Under an fsdp mesh the DeviceFeeder splits the batch over the joint
+    ('data','fsdp') axes — no redundant compute per fsdp shard."""
+    import numpy as onp
+
+    from exploremultimodal_tpu.data.pipeline import DeviceFeeder
+
+    mesh = create_mesh(data=2, fsdp=4)
+    feeder = DeviceFeeder(mesh)
+    batch = {"x": onp.zeros((16, 3), onp.float32)}
+    staged = next(iter(feeder(iter([batch]))))
+    assert staged["x"].sharding.spec == P(("data", "fsdp"), None)
+    # each device holds 16/8 = 2 rows
+    assert staged["x"].addressable_shards[0].data.shape == (2, 3)
 
 
 def test_fsdp_offload_preset_loads_and_dp_unaffected(eight_devices):
