@@ -20,6 +20,7 @@ from typing import Any
 from exploremultimodal_tpu.data.datasets import (
     ConcatDataset,
     ImageTextArrowDataset,
+    ImgClsArrowDataset,
     Nlvr2ArrowDataset,
     SyntheticDataset,
     TextCorpusDataset,
@@ -63,6 +64,13 @@ ARROW_TABLES: dict[str, dict[str, list[str]]] = {
         "train": ["nlvr2_train"],
         "val": ["nlvr2_dev"],
         "test": ["nlvr2_dev", "nlvr2_test1"],
+    },
+    # image-classification arrows (image bytes + integer `label` column);
+    # finetune_vis surface — no reference counterpart (its driver is a stub)
+    "imgcls": {
+        "train": ["imgcls_train"],
+        "val": ["imgcls_val"],
+        "test": ["imgcls_test"],
     },
 }
 
@@ -131,6 +139,7 @@ class MultiTaskData:
         draw_false = (
             int(self.cfg.train.get("draw_false_text", 3)) if "irtr" in losses else 0
         )
+        emit_aug = bool(self.cfg.get("vlmo_ema")) and split == "train"
         if key == "synthetic":
             vqa_size = d.vqav2_label_size if "vqa" in losses else None
             return SyntheticDataset(
@@ -147,6 +156,11 @@ class MultiTaskData:
                 nlvr="nlvr2" in losses,
                 draw_false_text=draw_false,
                 mpp_labels="mpp" in losses,
+                emit_image_aug=emit_aug,
+                num_classes=(
+                    int(self.cfg.model.get("num_classes") or 1000)
+                    if "imgcls" in losses else None
+                ),
             )
         if key in NLP_KEYS:
             path = os.path.join(d.data_root, NLP_KEYS[key])
@@ -193,12 +207,19 @@ class MultiTaskData:
                 transform=self._transform(split),
                 **common,
             )
+        if key == "imgcls":
+            return ImgClsArrowDataset(
+                d.data_root, tables, split=split,
+                transform=self._transform(split),
+                **common,
+            )
         return ImageTextArrowDataset(
             d.data_root, tables, split=split,
             transform=self._transform(split),
             mask_generator=self.mask_generator if self.is_pretrain else None,
             image_only=d.get("image_only", False),
             draw_false_text=draw_false if split == "train" else 0,
+            emit_image_aug=emit_aug and self.is_pretrain,
             **common,
         )
 

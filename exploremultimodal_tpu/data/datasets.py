@@ -52,6 +52,7 @@ class ImageTextArrowDataset:
         image_only: bool = False,
         text_only: bool = False,
         draw_false_text: int = 0,
+        emit_image_aug: bool = False,
         extra_columns: Sequence[str] = (),
     ):
         import pyarrow as pa
@@ -66,6 +67,7 @@ class ImageTextArrowDataset:
         self.image_only = image_only
         self.text_only = text_only
         self.draw_false_text = draw_false_text
+        self.emit_image_aug = emit_image_aug
         self.extra_columns = list(extra_columns)
 
         tables = []
@@ -118,6 +120,20 @@ class ImageTextArrowDataset:
                 sample["image_u8"], sample["image4dalle_u8"] = out
             else:
                 sample["image_u8"] = out
+            if self.emit_image_aug:
+                # second INDEPENDENT augmented view for the momentum branch
+                # (base_dataset.py:88-108 emits image_aug alongside image)
+                if hasattr(self.transform, "from_bytes"):
+                    aug = self.transform.from_bytes(
+                        self.table["image"][row].as_py(), rng
+                    )
+                else:
+                    img = self._decode_image(row)
+                    aug = (
+                        self.transform(img, rng) if self.transform
+                        else np.asarray(img)
+                    )
+                sample["image_aug_u8"] = aug[0] if isinstance(aug, tuple) else aug
             if self.mask_generator is not None:
                 np_rng = np.random.default_rng(rng.getrandbits(32))
                 sample["image_bool_masked_pos"] = self.mask_generator(
@@ -194,6 +210,22 @@ class VqaArrowDataset(ImageTextArrowDataset):
         if "question_id" in self.table.column_names:
             qid = self.table["question_id"][row].as_py()
             sample["qid"] = np.int64(qid[j] if isinstance(qid, list) else qid)
+        return sample
+
+
+class ImgClsArrowDataset(ImageTextArrowDataset):
+    """Image-classification arrow dataset: `image` bytes + integer `label`
+    column (finetune_vis surface — the reference's train/finetune/vis.py is a
+    log-only stub with no dataset; this makes the phase runnable)."""
+
+    def __init__(self, *args, **kw):
+        kw.setdefault("image_only", True)
+        super().__init__(*args, **kw)
+
+    def get_sample(self, index: int, rng: random.Random) -> Sample:
+        sample = super().get_sample(index, rng)
+        row, _ = self.index_mapper[index]
+        sample["label"] = np.int32(self.table["label"][row].as_py())
         return sample
 
 
@@ -303,6 +335,8 @@ class SyntheticDataset:
         text_only: bool = False,
         draw_false_text: int = 0,
         mpp_labels: bool = False,
+        emit_image_aug: bool = False,
+        num_classes: int | None = None,
         seed: int = 0,
     ):
         self.size = size
@@ -316,6 +350,8 @@ class SyntheticDataset:
         self.text_only = text_only
         self.draw_false_text = draw_false_text
         self.mpp_labels = mpp_labels
+        self.emit_image_aug = emit_image_aug
+        self.num_classes = num_classes
         self.mask_generator = MaskingGenerator(
             patch_grid, num_mask_patches,
             min_num_patches=min(min_mask_per_block, num_mask_patches),
@@ -352,6 +388,12 @@ class SyntheticDataset:
         sample["image_u8"] = rng.integers(
             0, 256, (self.img_size, self.img_size, 3), dtype=np.uint8
         )
+        if self.emit_image_aug:
+            sample["image_aug_u8"] = rng.integers(
+                0, 256, (self.img_size, self.img_size, 3), dtype=np.uint8
+            )
+        if self.num_classes:
+            sample["label"] = np.int32(rng.integers(0, self.num_classes))
         sample["image_bool_masked_pos"] = self.mask_generator(rng).reshape(-1)
         if self.second_size:
             sample["image4dalle_u8"] = rng.integers(

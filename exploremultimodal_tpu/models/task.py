@@ -277,6 +277,11 @@ class VlmoTask(nn.Module):
             img_hidden, txt_hidden, txt_mask, deterministic=deterministic
         )
 
+    def continue_single_stream(self, x, mask, route, deterministic=True):
+        return self.transformer.continue_single_stream(
+            x, mask, route, deterministic=deterministic
+        )
+
     def pool_feats(self, co_feats):
         return self.transformer.pool(co_feats)
 
@@ -340,10 +345,10 @@ class VlmoTask(nn.Module):
             ret.update(self.infer(batch, deterministic=deterministic))
             return ret
 
-        if "mlm" in names:
-            ret.update(obj.compute_mlm(self, batch, deterministic))
-        if "mim" in names:
-            ret.update(obj.compute_mim(self, batch, deterministic))
+        # ITC runs first: its below-fusion single-modality hidden states
+        # (itc_h_img/itc_h_txt) are shared with MLM's fused forward and
+        # ITM's pair streams — one computation feeds all three objectives
+        # (the reference recomputes these streams per objective).
         if "itc" in names:
             ret.update(
                 obj.compute_itc(
@@ -353,9 +358,13 @@ class VlmoTask(nn.Module):
                     queue=queue,
                 )
             )
+        shared = ret if "itc" in names else None
+        if "mlm" in names:
+            ret.update(obj.compute_mlm(self, batch, deterministic, shared=shared))
+        if "mim" in names:
+            ret.update(obj.compute_mim(self, batch, deterministic))
         if "itm" in names:
-            sim_dict = ret if "itc" in names else None
-            ret.update(obj.compute_itm(self, batch, sim_dict,
+            ret.update(obj.compute_itm(self, batch, shared,
                                        deterministic=deterministic))
         if "vqa" in names:
             ret.update(
@@ -380,24 +389,31 @@ class VlmoTask(nn.Module):
         """Init helper touching every route + head the config needs. Text-only
         phases still initialize the 'v' experts (the reference keeps them,
         deleting only 'vl'; vlmo_module.py:150-153) via a dummy image."""
+        c = self.config
         img = batch.get("image")
+        txt_ids = batch.get("text_ids")
+        txt_mask = batch.get("text_mask")
+        B = img.shape[0] if img is not None else txt_ids.shape[0]
         if img is None:
-            c = self.config
-            img = jnp.zeros(
-                (batch["text_ids"].shape[0], c.img_size, c.img_size, 3),
-                jnp.float32,
-            )
-        self.transformer.init_streams(img, batch["text_ids"], batch["text_mask"])
+            img = jnp.zeros((B, c.img_size, c.img_size, 3), jnp.float32)
+        if txt_ids is None:  # vision-only phases (imgcls/mae)
+            txt_ids = jnp.zeros((B, c.max_text_len), jnp.int32)
+            txt_mask = jnp.ones((B, c.max_text_len), jnp.int32)
+        self.transformer.init_streams(img, txt_ids, txt_mask)
         return self(batch, deterministic=True)
 
 
-def total_loss(outputs: dict) -> jax.Array:
+def total_loss(outputs: dict, flat: bool = False) -> jax.Array:
     """Σ *_task_loss with non-finite components dropped
-    (reference multimodal.py:281-284)."""
+    (reference multimodal.py:281-284). With flat=True each component is
+    divided by its own detached value (multimodal.py:301-307) so every task
+    contributes an equal-magnitude gradient regardless of loss scale."""
     total = jnp.asarray(0.0, jnp.float32)
     for k, v in outputs.items():
         if k.endswith("_task_loss"):
             v = jnp.asarray(v, jnp.float32)
+            if flat:
+                v = v / jnp.maximum(jnp.abs(jax.lax.stop_gradient(v)), 1e-12)
             total = total + jnp.where(jnp.isfinite(v), v, 0.0)
     return total
 

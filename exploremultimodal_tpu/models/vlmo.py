@@ -519,6 +519,24 @@ class VLMO(nn.Module):
             x, mask, route, 0, self.fusion_layer, deterministic
         )
 
+    def continue_single_stream(
+        self,
+        x: jax.Array,
+        mask: jax.Array | None,
+        route: str,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Run blocks[fusion_layer:] on a single-modality hidden state + the
+        final norm — the upper half of a full-depth single stream. Lets ITC
+        continue from the same below-fusion hidden states that ITM and MLM
+        consume, so the 2·bs single-modality streams below the fusion layer
+        are computed ONCE per step instead of once per objective (the
+        reference recomputes them per compute_* call, objectives.py:117,288)."""
+        x = self.run_blocks(
+            x, mask, route, self.fusion_layer, None, deterministic
+        )
+        return self.norm(x).astype(self.dtype)
+
     def fuse_from_hidden(
         self,
         img_hidden: jax.Array,

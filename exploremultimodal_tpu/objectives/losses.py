@@ -66,18 +66,36 @@ def compute_vqa_score(logits: jax.Array, targets: jax.Array) -> tuple[jax.Array,
 # ------------------------------------------------------------------- MLM
 
 
-def compute_mlm(task, batch: Batch, deterministic: bool = True) -> dict:
+def compute_mlm(
+    task, batch: Batch, deterministic: bool = True, shared: dict | None = None
+) -> dict:
     """Masked-language-modeling CE over masked text positions
-    (objectives.py:40-78). Multimodal when an image is present, else txt-only."""
+    (objectives.py:40-78). Multimodal when an image is present, else txt-only.
+    When ITC already ran, its below-fusion image hidden (`shared['itc_h_img']`)
+    feeds the fused forward directly — the image stream below the fusion layer
+    is independent of the (masked) text, so recomputing it per objective
+    (as the reference does) is pure waste."""
     has_img = batch.get("image") is not None
-    infer = task.infer(
-        batch,
-        infer_mode="img-txt" if has_img else "txt_only",
-        mask_txt=True,
-        deterministic=deterministic,
-    )
-    txt_feats = infer["txt_feats"]
-    labels = infer["txt_labels"]
+    if has_img and shared is not None and "itc_h_img" in shared:
+        h_txt_mlm = task.stream_below_fusion(
+            txt=batch["text_ids_mlm"], txt_mask=batch["text_mask"],
+            deterministic=deterministic,
+        )
+        co_feats, _ = task.fuse_from_hidden(
+            shared["itc_h_img"], h_txt_mlm, batch["text_mask"],
+            deterministic=deterministic,
+        )
+        txt_feats = co_feats[:, : task.config.max_text_len]
+        labels = batch["text_labels_mlm"]
+    else:
+        infer = task.infer(
+            batch,
+            infer_mode="img-txt" if has_img else "txt_only",
+            mask_txt=True,
+            deterministic=deterministic,
+        )
+        txt_feats = infer["txt_feats"]
+        labels = infer["txt_labels"]
 
     logits = task.mlm_logits(txt_feats)
     valid = labels != -100
@@ -114,11 +132,26 @@ def compute_itc(
     """
     temp = jnp.exp(jnp.clip(task.itc_temp_value(), 0.0, ITC_TEMP_MAX))
 
-    img_infer = task.infer(batch, infer_mode="img_only", deterministic=deterministic)
-    txt_infer = task.infer(batch, infer_mode="txt_only", deterministic=deterministic)
+    # single-modality streams split at the fusion boundary: the below-fusion
+    # hidden states are returned (itc_h_img/itc_h_txt) so ITM and MLM reuse
+    # them instead of recomputing 2·bs streams each (bit-identical to the
+    # reference's full infer — blocks[0:f] then blocks[f:] == blocks[0:depth])
+    h_img = task.stream_below_fusion(
+        img=batch["image"], deterministic=deterministic
+    )
+    h_txt = task.stream_below_fusion(
+        txt=batch["text_ids"], txt_mask=batch["text_mask"],
+        deterministic=deterministic,
+    )
+    img_feats = task.continue_single_stream(
+        h_img, None, "v", deterministic=deterministic
+    )
+    txt_feats = task.continue_single_stream(
+        h_txt, batch["text_mask"], "l", deterministic=deterministic
+    )
 
-    i_feat = task.itc_project(img_infer["co_feats"][:, 0], "v")
-    t_feat = task.itc_project(txt_infer["co_feats"][:, 0], "l")
+    i_feat = task.itc_project(img_feats[:, 0], "v")
+    t_feat = task.itc_project(txt_feats[:, 0], "l")
     i_feat = i_feat.astype(jnp.float32)
     t_feat = t_feat.astype(jnp.float32)
 
@@ -152,7 +185,7 @@ def compute_itc(
                 in_batch_g2l_loss(momentum_feats["i_feat_l_m"], i_feat, temp),
                 in_batch_g2l_loss(
                     momentum_feats["t_feat_l_m"], t_feat, temp,
-                    txt_infer["txt_masks"][:, 1:],
+                    batch["text_mask"][:, 1:],
                 ),
             )
     else:
@@ -183,6 +216,8 @@ def compute_itc(
         "itc_t2i_count": jnp.asarray(bs, jnp.float32),
         "itc_i_feat": i_feat,
         "itc_t_feat": t_feat,
+        "itc_h_img": h_img,
+        "itc_h_txt": h_txt,
     }
 
     if sim_i2i is not None:
@@ -276,21 +311,32 @@ def compute_itm(
     neg_img_idx = jax.random.categorical(r_img, logw_t2i, axis=1)  # per text
     neg_txt_idx = jax.random.categorical(r_txt, logw_i2t, axis=1)  # per image
 
-    # dedup below the fusion layer: the pairing [pos, img-neg, txt-neg] reuses
-    # each image/text twice, and single-modality streams below fusion don't
-    # depend on the pairing — run 2·bs unique streams, gather to 3·bs rows,
-    # and only the fused blocks see all pairs (TPU-first restructuring; the
-    # reference forwards the duplicates, objectives.py:280-291)
-    img_unique = jnp.concatenate([img, img[neg_img_idx]], axis=0)
-    txt_unique = jnp.concatenate([txt_ids, txt_ids[neg_txt_idx]], axis=0)
-    mask_unique = jnp.concatenate([txt_mask, txt_mask[neg_txt_idx]], axis=0)
-
-    h_img = task.stream_below_fusion(img=img_unique, deterministic=deterministic)
-    h_txt = task.stream_below_fusion(
-        txt=txt_unique, txt_mask=mask_unique, deterministic=deterministic
-    )
-    pair_img = jnp.concatenate([h_img[:bs], h_img[bs:], h_img[:bs]], axis=0)
-    pair_txt = jnp.concatenate([h_txt[:bs], h_txt[:bs], h_txt[bs:]], axis=0)
+    # Dedup below the fusion layer: the pairing [pos, img-neg, txt-neg]
+    # reuses each image/text, and single-modality streams below fusion don't
+    # depend on the pairing. When ITC ran, its shared below-fusion hiddens
+    # cover ALL rows (negatives are in-batch gathers) — ITM then costs zero
+    # below-fusion compute; otherwise run 2·bs unique streams. (The reference
+    # forwards 3·bs full duplicates, objectives.py:280-291.)
+    if sim_dict is not None and "itc_h_img" in sim_dict:
+        h_img_all, h_txt_all = sim_dict["itc_h_img"], sim_dict["itc_h_txt"]
+        pair_img = jnp.concatenate(
+            [h_img_all, h_img_all[neg_img_idx], h_img_all], axis=0
+        )
+        pair_txt = jnp.concatenate(
+            [h_txt_all, h_txt_all, h_txt_all[neg_txt_idx]], axis=0
+        )
+    else:
+        img_unique = jnp.concatenate([img, img[neg_img_idx]], axis=0)
+        txt_unique = jnp.concatenate([txt_ids, txt_ids[neg_txt_idx]], axis=0)
+        mask_unique = jnp.concatenate([txt_mask, txt_mask[neg_txt_idx]], axis=0)
+        h_img = task.stream_below_fusion(
+            img=img_unique, deterministic=deterministic
+        )
+        h_txt = task.stream_below_fusion(
+            txt=txt_unique, txt_mask=mask_unique, deterministic=deterministic
+        )
+        pair_img = jnp.concatenate([h_img[:bs], h_img[bs:], h_img[:bs]], axis=0)
+        pair_txt = jnp.concatenate([h_txt[:bs], h_txt[:bs], h_txt[bs:]], axis=0)
     pair_mask = jnp.concatenate(
         [txt_mask, txt_mask, txt_mask[neg_txt_idx]], axis=0
     )
@@ -512,10 +558,12 @@ def compute_mae(task, batch: Batch, deterministic: bool = True) -> dict:
 
 
 def compute_imgcls(task, batch: Batch, deterministic: bool = True) -> dict:
-    """Image classification over pooled fused features (compute_imgcls,
+    """Image classification over pooled features (compute_imgcls,
     objectives.py:862-882 — written against a legacy interface there; runnable
-    here for the finetune_vis surface)."""
-    infer = task.infer(batch, infer_mode="img-txt", deterministic=deterministic)
+    here for the finetune_vis surface). Vision-only batches (imgcls arrow
+    datasets carry no captions) classify the image stream's pooled CLS."""
+    mode = "img-txt" if batch.get("text_ids") is not None else "img_only"
+    infer = task.infer(batch, infer_mode=mode, deterministic=deterministic)
     logits = task.imgcls_logits(infer["cls_feats"])
     labels = batch["label"].astype(jnp.int32)
     loss, acc, count = masked_cross_entropy(logits, labels, jnp.ones_like(labels))

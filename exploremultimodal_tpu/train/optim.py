@@ -57,6 +57,47 @@ def build_schedule(train_cfg: Any, steps_per_epoch: int) -> optax.Schedule:
     return optax.join_schedules([warmup_fn, decay], [warmup])
 
 
+def build_wd_schedule(
+    train_cfg: Any, steps_per_epoch: int
+) -> optax.Schedule | None:
+    """Per-iteration cosine weight-decay schedule weight_decay →
+    weight_decay_end (reference cosine_scheduler wd path, utils.py:399-424;
+    no warmup, unlike the lr schedule). None when the end value is unset or
+    equal to the start (constant decay)."""
+    wd = float(train_cfg.weight_decay)
+    wd_end = train_cfg.get("weight_decay_end")
+    if wd_end is None or float(wd_end) == wd:
+        return None
+    wd_end = float(wd_end)
+    total = max(int(train_cfg.epochs * steps_per_epoch), 1)
+
+    def schedule(count):
+        frac = jnp.clip(count / total, 0.0, 1.0)
+        return wd_end + 0.5 * (wd - wd_end) * (1.0 + jnp.cos(jnp.pi * frac))
+
+    return schedule
+
+
+def add_decayed_weights_scheduled(
+    wd_schedule: optax.Schedule, mask: Any
+) -> optax.GradientTransformation:
+    """optax.add_decayed_weights with a per-step decay value (optax's own
+    takes only a constant)."""
+
+    def init_fn(params):
+        del params
+        return {"count": jnp.zeros((), jnp.int32)}
+
+    def update_fn(updates, state, params):
+        wd = wd_schedule(state["count"])
+        updates = jax.tree_util.tree_map(
+            lambda u, p, m: u + wd * p if m else u, updates, params, mask
+        )
+        return updates, {"count": state["count"] + 1}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _path_str(path) -> str:
     return "/".join(str(getattr(p, "key", p)) for p in path)
 
@@ -64,6 +105,7 @@ def _path_str(path) -> str:
 HEAD_NAMES = (
     "mlm_head", "itc_head", "itm_head", "mim_head", "mpp_head",
     "vqa_classifier", "nlvr2_classifier", "rank_output",
+    "img_classifier", "mae_head",
 )
 
 
@@ -160,13 +202,22 @@ def create_optimizer(
     scaler = _update_rule(opt_name, t.opt)
     decays_weights = opt_name in ("adamw", "lamb", "lars", "sgdw", "novograd")
 
+    if decays_weights:
+        wd_schedule = build_wd_schedule(t, steps_per_epoch)
+        mask = no_decay_mask(params)
+        decay = (
+            add_decayed_weights_scheduled(wd_schedule, mask)
+            if wd_schedule is not None
+            else optax.add_decayed_weights(float(t.weight_decay), mask=mask)
+        )
+    else:
+        decay = optax.identity()
+
     chain = [
         optax.clip_by_global_norm(float(t.clip_grad)) if t.get("clip_grad")
         else optax.identity(),
         scaler,
-        optax.add_decayed_weights(float(t.weight_decay), mask=no_decay_mask(params))
-        if decays_weights
-        else optax.identity(),
+        decay,
         optax.scale_by_learning_rate(schedule),
         scale_by_multipliers(mults),
     ]

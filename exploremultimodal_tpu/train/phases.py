@@ -37,8 +37,8 @@ def register(name: str):
     return deco
 
 
-def _run_trainer(cfg, logger) -> Any:
-    trainer = Trainer(cfg, logger)
+def _run_trainer(cfg, logger, trainer: Trainer | None = None) -> Any:
+    trainer = trainer or Trainer(cfg, logger)
     if cfg.get("throughput_mode"):
         return {"throughput": trainer.throughput()}
     if cfg.get("eval_mode"):
@@ -81,23 +81,33 @@ def finetune_nlvr2(cfg, logger):
     return _run_trainer(cfg, logger)
 
 
+@register("finetune_vis")
+def finetune_vis(cfg, logger):
+    """Vision classification finetune (imgcls objective + ImgClsHead). The
+    reference's train/finetune/vis.py is a log-only stub; runnable here."""
+    return _run_trainer(cfg, logger)
+
+
 @register("finetune_vqa")
 def finetune_vqa(cfg, logger):
-    result = _run_trainer(cfg, logger)
+    trainer = Trainer(cfg, logger)
+    result = _run_trainer(cfg, logger, trainer=trainer)
     if isinstance(result, dict) and "state" in result and not cfg.get("eval_mode"):
         try:
-            write_vqa_submission(cfg, logger, result["state"])
+            write_vqa_submission(trainer, result["state"])
         except Exception as e:
             logger.warning(f"VQA submission skipped: {e}")
     return result
 
 
-def write_vqa_submission(cfg, logger, state, out_tag: str = "") -> str | None:
+def write_vqa_submission(trainer: Trainer, state, out_tag: str = "") -> str | None:
     """Test-split answer dump (vqa.py:440-477): per-process JSON then a
-    process-0 merge into submit/vqa_submit_*.json."""
+    process-0 merge into submit/vqa_submit_*.json. Reuses the live Trainer
+    (its data module + cached jitted eval step) instead of constructing a
+    second one (round-1 reviewer finding)."""
     from exploremultimodal_tpu.data.vqa_vocab import load_or_build_vqa_vocab
 
-    trainer = Trainer(cfg, logger)
+    logger = trainer.logger
     loader = trainer.data.test_loader()
     if len(loader) == 0:
         logger.info("no VQA test split available; skipping submission")
@@ -110,7 +120,10 @@ def write_vqa_submission(cfg, logger, state, out_tag: str = "") -> str | None:
     rng = jax.random.key(0)
     for batch in trainer.feeder(iter(loader)):
         rng, sub = jax.random.split(rng)
-        _, _, extra = eval_step(state.params, batch, sub)
+        # filter non-array fields (table_name strings etc.) like
+        # Trainer.evaluate does — they would crash the jitted step
+        arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        _, _, extra = eval_step(state.params, arrays, sub)
         preds = np.asarray(extra["vqa_logits"]).argmax(-1)
         qids = np.asarray(batch["qid"])
         results += [
@@ -150,12 +163,12 @@ def finetune_retrieval(cfg, logger):
     texts, recall@K evaluation (the reference driver is a log-only stub;
     compute_irtr exists at objectives.py:946-984 and recall was left
     unimplemented at :987-989)."""
-    result = _run_trainer(cfg, logger)
+    trainer = Trainer(cfg, logger)
+    result = _run_trainer(cfg, logger, trainer=trainer)
     if isinstance(result, dict) and "state" in result:
         try:
             from exploremultimodal_tpu.train.retrieval import evaluate_retrieval
 
-            trainer = Trainer(cfg, logger)
             loader = trainer.data.val_loader()
             if len(loader) > 0:
                 recalls = evaluate_retrieval(trainer, result["state"], loader)
@@ -178,8 +191,7 @@ def _stub(name: str):
     return stub
 
 
-for _name in ("finetune_caption", "finetune_ref",
-              "finetune_inpainting", "finetune_vis"):
+for _name in ("finetune_caption", "finetune_ref", "finetune_inpainting"):
     _stub(_name)
 
 

@@ -246,14 +246,6 @@ class Trainer:
         isda_lambda = float(cfg.train.get("isda_lambda", 0.0))
         total_epochs = int(cfg.train.epochs)
 
-        if accum > 1 and (use_momentum or use_queue or isda_lambda):
-            raise NotImplementedError(
-                "accumulation_steps > 1 with vlmo_ema/neg_queue/ISDA is not "
-                "supported: the microbatch loop carries only scalar metrics, "
-                "so momentum features, queues, and ISDA state would silently "
-                "drop out of the loss"
-            )
-
         def momentum_branch(state: TrainState, model_batch):
             """EMA-encoder features for the ITC momentum mode. Computed once
             per step outside the grad; the SAME features feed the loss and
@@ -275,7 +267,9 @@ class Trainer:
             )
             return momentum_feats, queue
 
-        def loss_fn(params, model_batch, rngs, state: TrainState, epoch,
+        flat_loss = bool(cfg.train.get("flat_loss", False))
+
+        def loss_fn(params, model_batch, rngs, isda_state, epoch,
                     momentum_feats, queue):
             isda_ratio = (
                 isda_lambda * epoch / max(total_epochs, 1) if isda_lambda else 0.0
@@ -286,11 +280,11 @@ class Trainer:
                 deterministic=False,
                 momentum_feats=momentum_feats,
                 queue=queue,
-                isda_state=state.isda,
+                isda_state=isda_state,
                 isda_ratio=isda_ratio,
                 rngs=rngs,
             )
-            return total_loss(outputs), outputs
+            return total_loss(outputs, flat=flat_loss), outputs
 
         def train_step(state: TrainState, batch: dict, epoch: jax.Array):
             rngs = state.step_rngs("dropout", "droppath", "sample")
@@ -298,41 +292,58 @@ class Trainer:
             momentum_feats, queue = momentum_branch(state, model_batch)
 
             if accum > 1:
-                # scalar metrics averaged across microbatches ride the carry
+                # Microbatch loop with full carry: grads + scalar metrics +
+                # ISDA state. Momentum features slice per microbatch (rows
+                # align with the batch slice, so the ITC positive diagonal is
+                # preserved); the queue is held fixed across the step's
+                # microbatches and enqueued once afterwards — equivalent to
+                # the reference's per-forward enqueue up to within-step
+                # ordering (multimodal.py:262,309-329 + objectives.py:438-465).
                 def metrics_of(out):
                     return {
                         k: jnp.asarray(v, jnp.float32)
                         for k, v in _metrics_from_outputs(out).items()
                     }
 
+                def mb_slice(tree, i):
+                    return jax.tree_util.tree_map(
+                        lambda v: v.reshape((accum, -1) + v.shape[1:])[i], tree
+                    )
+
                 def micro(i, carry):
-                    grads_acc, loss_acc, met_acc = carry
-                    mb = jax.tree_util.tree_map(
-                        lambda v: v.reshape((accum, -1) + v.shape[1:])[i],
-                        model_batch,
+                    grads_acc, loss_acc, met_acc, isda_carry = carry
+                    mb = mb_slice(model_batch, i)
+                    mfeats = (
+                        mb_slice(momentum_feats, i)
+                        if momentum_feats is not None else None
                     )
                     micro_rngs = {
                         k: jax.random.fold_in(r, i) for k, r in rngs.items()
                     }
                     (loss, out), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                        state.params, mb, micro_rngs, state, epoch, None, None
+                        state.params, mb, micro_rngs, isda_carry, epoch,
+                        mfeats, queue,
                     )
                     met = metrics_of(out)
                     return (
                         jax.tree_util.tree_map(jnp.add, grads_acc, g),
                         loss_acc + loss,
                         {k: met_acc[k] + met[k] for k in met_acc},
+                        out.get("isda_state", isda_carry),
                     )
 
                 zero = jax.tree_util.tree_map(
                     lambda p: jnp.zeros_like(p, jnp.float32), state.params
                 )
-                mb0 = jax.tree_util.tree_map(
-                    lambda v: v.reshape((accum, -1) + v.shape[1:])[0],
-                    model_batch,
+                mb0 = mb_slice(model_batch, 0)
+                mfeats0 = (
+                    mb_slice(momentum_feats, 0)
+                    if momentum_feats is not None else None
                 )
                 out_shapes = jax.eval_shape(
-                    lambda p: loss_fn(p, mb0, rngs, state, epoch, None, None)[1],
+                    lambda p: loss_fn(
+                        p, mb0, rngs, state.isda, epoch, mfeats0, queue
+                    )[1],
                     state.params,
                 )
                 met0 = {
@@ -342,16 +353,19 @@ class Trainer:
                            for sfx in METRIC_KEYS)
                     and getattr(v, "ndim", None) == 0
                 }
-                grads, loss, met_sum = jax.lax.fori_loop(
-                    0, accum, micro, (zero, jnp.zeros((), jnp.float32), met0)
+                grads, loss, met_sum, isda_final = jax.lax.fori_loop(
+                    0, accum, micro,
+                    (zero, jnp.zeros((), jnp.float32), met0, state.isda),
                 )
                 grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
                 loss = loss / accum
                 outputs = {k: v / accum for k, v in met_sum.items()}
+                if isda_final is not None:
+                    outputs["isda_state"] = isda_final
             else:
                 (loss, outputs), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
-                )(state.params, model_batch, rngs, state, epoch,
+                )(state.params, model_batch, rngs, state.isda, epoch,
                   momentum_feats, queue)
 
             opt_state = state.opt_state

@@ -74,6 +74,79 @@ def test_momentum_queue_itc_train_step(tmp_path):
     assert not np.array_equal(ema1, p1)
 
 
+def test_image_aug_feeds_momentum_branch(tmp_path):
+    """vlmo_ema=true must feed the EMA encoder a second INDEPENDENT
+    augmented view (reference base_dataset.py:88-108 emits image_aug; round-1
+    finding: no dataset produced it, so the momentum branch silently saw the
+    identical view)."""
+    from exploremultimodal_tpu.models import build_model
+    from exploremultimodal_tpu.models.task import VlmoTask
+    from exploremultimodal_tpu.ops.preprocess import preprocess_batch
+    from exploremultimodal_tpu.train.trainer import Trainer
+
+    cfg = load_config(TINY + [f"exp_dir={tmp_path}"])
+    trainer = Trainer(cfg)
+    batch = next(iter(trainer.feeder(iter(trainer.data.train_loader()))))
+    assert "image_aug_u8" in batch
+    assert not np.array_equal(
+        np.asarray(batch["image_aug_u8"]), np.asarray(batch["image_u8"])
+    )
+
+    # the momentum features actually use the augmented view
+    task = build_model(cfg)
+    state = trainer.init_state(batch)
+    model_batch = jax.jit(preprocess_batch)(
+        {k: v for k, v in batch.items() if not isinstance(v, list)}
+    )
+    feats_aug = task.apply(
+        {"params": state.ema_params}, model_batch,
+        method=VlmoTask.itc_momentum_feats,
+    )
+    no_aug = {k: v for k, v in model_batch.items() if k != "image_aug"}
+    feats_plain = task.apply(
+        {"params": state.ema_params}, no_aug,
+        method=VlmoTask.itc_momentum_feats,
+    )
+    assert not np.allclose(
+        np.asarray(feats_aug["i_feat_m"]), np.asarray(feats_plain["i_feat_m"])
+    )
+    # text features identical — only the image view changes
+    np.testing.assert_allclose(
+        np.asarray(feats_aug["t_feat_m"]), np.asarray(feats_plain["t_feat_m"]),
+        rtol=1e-5,
+    )
+
+
+def test_grad_accum_with_momentum_and_queue(tmp_path):
+    """accumulation_steps=2 combined with vlmo_ema + neg_queue (the reference
+    supports this; round-1 raised NotImplementedError): momentum features
+    slice per microbatch, queue advances once per optimizer step, metrics
+    stay finite."""
+    from exploremultimodal_tpu.train.trainer import Trainer
+
+    cfg = load_config(
+        TINY + [f"exp_dir={tmp_path}", "train.accumulation_steps=2"]
+    )
+    trainer = Trainer(cfg)
+    loader = trainer.data.train_loader()
+    state = trainer.init_state(next(iter(loader)))
+    train_step = trainer.make_train_step()
+    batch = next(iter(trainer.feeder(iter(loader))))
+    ptr0 = int(state.queue_ptr)
+
+    state, metrics = train_step(state, batch, jnp.asarray(0.0))
+    for k in ("itc_task_loss", "i2i_Loss", "t2t_Loss"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    # queue advanced by the FULL batch exactly once
+    assert int(state.queue_ptr) == (ptr0 + 8) % 64
+    # EMA updated
+    assert state.ema_params is not None
+
+    # second step still healthy (queue now holds real negatives)
+    state, metrics = train_step(state, batch, jnp.asarray(0.0))
+    assert np.isfinite(float(metrics["itc_task_loss"]))
+
+
 def test_ema_update_math():
     ema = {"w": jnp.zeros((4,))}
     params = {"w": jnp.ones((4,))}

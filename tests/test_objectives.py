@@ -401,3 +401,90 @@ def test_imgcls_objective():
         rngs={"sample": jax.random.key(2)},
     )
     assert abs(float(out["imgcls_task_loss"]) - float(out2["imgcls_task_loss"])) > 1e-8
+
+
+def test_shared_stream_restructure_bit_equivalent():
+    """ITC split at the fusion boundary + MLM/ITM reuse of the below-fusion
+    hiddens must be bit-equivalent (deterministic mode) to independent full
+    infers per objective (the reference's structure)."""
+    task = make_task(["mlm", "itc", "itm"], phase="pretrain_mum")
+    batch = make_batch()
+    variables = init_task(task, batch)
+
+    # --- ITC features: split path vs full single-stream infer
+    def split_feats(m):
+        h_img = m.stream_below_fusion(img=batch["image"])
+        h_txt = m.stream_below_fusion(
+            txt=batch["text_ids"], txt_mask=batch["text_mask"]
+        )
+        img_feats = m.continue_single_stream(h_img, None, "v")
+        txt_feats = m.continue_single_stream(h_txt, batch["text_mask"], "l")
+        return (m.itc_project(img_feats[:, 0], "v"),
+                m.itc_project(txt_feats[:, 0], "l"))
+
+    def full_feats(m):
+        img_infer = m.infer(batch, infer_mode="img_only")
+        txt_infer = m.infer(batch, infer_mode="txt_only")
+        return (m.itc_project(img_infer["co_feats"][:, 0], "v"),
+                m.itc_project(txt_infer["co_feats"][:, 0], "l"))
+
+    i_s, t_s = task.apply(variables, method=split_feats)
+    i_f, t_f = task.apply(variables, method=full_feats)
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_f))
+    np.testing.assert_array_equal(np.asarray(t_s), np.asarray(t_f))
+
+    # --- MLM via shared image hidden vs direct fused infer
+    def shared_mlm(m):
+        h_img = m.stream_below_fusion(img=batch["image"])
+        h_txt_mlm = m.stream_below_fusion(
+            txt=batch["text_ids_mlm"], txt_mask=batch["text_mask"]
+        )
+        co, _ = m.fuse_from_hidden(h_img, h_txt_mlm, batch["text_mask"])
+        return m.mlm_logits(co[:, : m.config.max_text_len])
+
+    def direct_mlm(m):
+        infer = m.infer(batch, infer_mode="img-txt", mask_txt=True)
+        return m.mlm_logits(infer["txt_feats"])
+
+    np.testing.assert_allclose(
+        np.asarray(task.apply(variables, method=shared_mlm)),
+        np.asarray(task.apply(variables, method=direct_mlm)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+    # --- ITM via shared hiddens vs full fused forwards of all 3·bs pairs
+    bs = 4
+    neg_img_idx = jnp.asarray((np.arange(bs) + 1) % bs)
+    neg_txt_idx = jnp.asarray((np.arange(bs) + 3) % bs)
+    img, txt, mask = batch["image"], batch["text_ids"], batch["text_mask"]
+
+    def shared_itm(m):
+        h_img = m.stream_below_fusion(img=img)
+        h_txt = m.stream_below_fusion(txt=txt, txt_mask=mask)
+        pair_img = jnp.concatenate([h_img, h_img[neg_img_idx], h_img], 0)
+        pair_txt = jnp.concatenate([h_txt, h_txt, h_txt[neg_txt_idx]], 0)
+        pair_mask = jnp.concatenate([mask, mask, mask[neg_txt_idx]], 0)
+        co, _ = m.fuse_from_hidden(pair_img, pair_txt, pair_mask)
+        return m.itm_logits(m.pool_feats(co))
+
+    def naive_itm(m):
+        img_all = jnp.concatenate([img, img[neg_img_idx], img], 0)
+        txt_all = jnp.concatenate([txt, txt, txt[neg_txt_idx]], 0)
+        mask_all = jnp.concatenate([mask, mask, mask[neg_txt_idx]], 0)
+        infer = m.infer(
+            {"image": img_all, "text_ids": txt_all, "text_mask": mask_all},
+            infer_mode="img-txt",
+        )
+        return m.itm_logits(infer["cls_feats"])
+
+    np.testing.assert_allclose(
+        np.asarray(task.apply(variables, method=shared_itm)),
+        np.asarray(task.apply(variables, method=naive_itm)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # --- and the assembled __call__ exposes the shared hiddens
+    out = task.apply(variables, batch, rngs={"sample": jax.random.key(2)})
+    assert "itc_h_img" in out and "itc_h_txt" in out
+    for k in ("mlm_task_loss", "itc_task_loss", "itm_task_loss"):
+        assert np.isfinite(float(out[k])), k

@@ -168,3 +168,88 @@ def test_lookahead_sync_semantics():
     params = optax.apply_updates(params, u)
     np.testing.assert_allclose(float(params["w"]), 0.9, rtol=1e-6)
     np.testing.assert_allclose(float(state["slow"]["w"]), 0.9, rtol=1e-6)
+
+
+def test_weight_decay_schedule():
+    """weight_decay_end drives a per-iteration cosine decay schedule
+    (reference cosine_scheduler wd path, utils.py:399-424) — round-1 finding:
+    the flag existed in YAMLs but nothing read it."""
+    from exploremultimodal_tpu.train.optim import (
+        add_decayed_weights_scheduled,
+        build_wd_schedule,
+    )
+
+    cfg = load_config(["train=pretrain_mum"])
+    cfg.train.weight_decay = 0.05
+    cfg.train.weight_decay_end = 0.4
+    cfg.train.epochs = 1
+    sched = build_wd_schedule(cfg.train, steps_per_epoch=100)
+    assert sched is not None
+    np.testing.assert_allclose(float(sched(0)), 0.05, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 0.4, rtol=1e-6)
+    mid = float(sched(50))
+    assert 0.05 < mid < 0.4
+
+    # equal start/end (the YAML defaults) → constant decay, no schedule
+    cfg.train.weight_decay_end = 0.05
+    assert build_wd_schedule(cfg.train, 100) is None
+
+    # the transform adds wd(t)·p only where the mask is True
+    params = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+    mask = {"w": True, "b": False}
+    cfg.train.weight_decay_end = 0.4
+    tx = add_decayed_weights_scheduled(
+        build_wd_schedule(cfg.train, 100), mask
+    )
+    state = tx.init(params)
+    zero_up = jax.tree.map(jnp.zeros_like, params)
+    up, state = tx.update(zero_up, state, params)
+    np.testing.assert_allclose(np.asarray(up["w"]), 0.05, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(up["b"]), 0.0)
+    assert int(state["count"]) == 1
+
+    # end-to-end: create_optimizer picks the scheduled transform up
+    cfg2 = load_config(["train=pretrain_mum"])
+    cfg2.train.weight_decay = 0.05
+    cfg2.train.weight_decay_end = 0.4
+    cfg2.model.fusion_layer, cfg2.model.depth = 1, 2
+    p = fake_params()
+    opt, _ = create_optimizer(cfg2, p, steps_per_epoch=10)
+    s = opt.init(p)
+    g = jax.tree.map(jnp.zeros_like, p)
+    u, _ = opt.update(g, s, p)
+    # decayed param got a nonzero update from wd alone
+    assert np.abs(np.asarray(
+        u["transformer"]["pooler"]["dense"]["kernel"]
+    )).sum() == 0.0  # kernel is zeros → wd·0 = 0
+    p2 = jax.tree_util.tree_map(lambda x: jnp.ones_like(x), p)
+    s2 = opt.init(p2)
+    u2, _ = opt.update(g, s2, p2)
+    assert np.abs(np.asarray(
+        u2["transformer"]["pooler"]["dense"]["kernel"]
+    )).sum() > 0.0
+
+
+def test_flat_loss_equal_gradient_weighting():
+    """flat_loss=true: each task loss contributes v/stop_grad(v), so the
+    total's gradient weights every task equally regardless of magnitude
+    (reference multimodal.py:301-307)."""
+    from exploremultimodal_tpu.models.task import total_loss
+
+    def outputs(w):
+        return {
+            "a_task_loss": 100.0 * w,     # huge loss
+            "b_task_loss": 0.01 * w,      # tiny loss
+        }
+
+    w = jnp.asarray(2.0)
+    g_plain = jax.grad(lambda w: total_loss(outputs(w)))(w)
+    g_flat = jax.grad(lambda w: total_loss(outputs(w), flat=True))(w)
+    np.testing.assert_allclose(float(g_plain), 100.01, rtol=1e-5)
+    # flat: d/dw (100w/(100w) + 0.01w/(0.01w)) at detached denominators
+    # = 100/(100·2) + 0.01/(0.01·2) = 1.0
+    np.testing.assert_allclose(float(g_flat), 1.0, rtol=1e-5)
+    # value is number-of-tasks at the evaluation point
+    np.testing.assert_allclose(
+        float(total_loss(outputs(w), flat=True)), 2.0, rtol=1e-6
+    )

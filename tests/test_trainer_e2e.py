@@ -242,6 +242,54 @@ def test_nlvr2_train_and_bucketed_eval(tmp_path):
     assert 0.0 <= stats["nlvr2_dev_acc"] <= 1.0
 
 
+def test_finetune_vis_imgcls_e2e(tmp_path):
+    """finetune_vis trains and evals imgcls end-to-end over a labeled arrow
+    dataset (round-1: the phase was registered as a log-only stub and no
+    dataset emitted 'label')."""
+    import io
+    import pyarrow as pa
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+
+    def jpeg():
+        buf = io.BytesIO()
+        Image.fromarray(rng.integers(0, 256, (40, 40, 3), np.uint8)).save(
+            buf, format="JPEG")
+        return buf.getvalue()
+
+    root = tmp_path / "arrows"
+    root.mkdir()
+    for name, n in (("imgcls_train", 8), ("imgcls_val", 4)):
+        t = pa.table({
+            "image": [jpeg() for _ in range(n)],
+            "label": [int(i % 3) for i in range(n)],
+        })
+        with pa.OSFile(str(root / f"{name}.arrow"), "wb") as sink:
+            with pa.ipc.new_file(sink, t.schema) as w:
+                w.write_table(t)
+
+    from exploremultimodal_tpu.train.phases import dispatch
+    from exploremultimodal_tpu.utils import create_logger
+
+    cfg = load_config([
+        "model=vlmo_debug", "train=finetune_vis",
+        f"data.data_root={root}", f"exp_dir={tmp_path}/run",
+        "data.batch_size=4", "data.num_workers=1",
+        "model.img_size=32", "model.embed_dim=32", "model.num_heads=2",
+        "model.max_text_len=8", "model.num_classes=3",
+        "model.drop_rate=0.0", "model.attn_drop_rate=0.0",
+        "model.drop_path_rate=0.0",
+        "train.warmup_steps=1", "train.epochs=1", "compute_dtype=float32",
+    ])
+    logger = create_logger(str(tmp_path / "run"), 0)
+    result = dispatch(cfg, logger)
+    assert "history" in result and len(result["history"]) == 1
+    stats = result["history"][0]
+    assert np.isfinite(stats["imgcls_task_loss"])
+    assert "val_imgcls_mean_acc" in stats
+
+
 def test_grad_accumulation_metrics_and_equivalence(tmp_path):
     """accumulation_steps=2 over a doubled batch ≈ single step on the batch
     (same grads up to fp noise) and task metrics still reported."""

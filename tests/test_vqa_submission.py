@@ -65,8 +65,11 @@ def test_write_vqa_submission(tmp_path):
     state = create_train_state(
         variables["params"], optax.sgd(0.0), jax.random.key(0)
     )
+    from exploremultimodal_tpu.train.trainer import Trainer
+
     logger = create_logger(str(tmp_path / "run"), 0)
-    out = write_vqa_submission(cfg, logger, state)
+    trainer = Trainer(cfg, logger)
+    out = write_vqa_submission(trainer, state)
     assert out is not None
 
     with open(out) as f:
