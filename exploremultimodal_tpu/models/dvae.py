@@ -176,15 +176,21 @@ class DalleDecoder(nn.Module):
 
 
 class DalleVAE:
-    """Frozen tokenizer façade (Dalle_VAE, modeling_discrete_vae.py:224-270)."""
+    """Frozen tokenizer façade (Dalle_VAE, modeling_discrete_vae.py:224-270).
+
+    `fused=None` (auto) routes the encoder through the Pallas fused residual-
+    block kernels (ops/dvae_conv.py) on TPU backends and through plain XLA
+    convs on CPU; pass True/False to force either path. Both are numerically
+    identical (tests/test_dvae.py fused-parity test)."""
 
     def __init__(self, image_size: int, encoder_params=None, decoder_params=None,
-                 dtype: Any = jnp.float32):
+                 dtype: Any = jnp.float32, fused: bool | None = None):
         self.image_size = image_size
         self.encoder = DalleEncoder(dtype=dtype)
         self.decoder = DalleDecoder(dtype=dtype)
         self.encoder_params = encoder_params
         self.decoder_params = decoder_params
+        self.fused = fused
 
     def init_random(self, rng: jax.Array) -> None:
         """Random weights (for tests / before importing OpenAI weights)."""
@@ -195,14 +201,29 @@ class DalleVAE:
         dummy_z = jnp.zeros((1, grid, grid, self.encoder.vocab_size))
         self.decoder_params = self.decoder.init(r2, dummy_z)["params"]
 
+    def _encode(self, images: jax.Array) -> jax.Array:
+        fused = self.fused
+        if fused is None:
+            fused = jax.default_backend() != "cpu"
+        if fused:
+            from ..ops.dvae_conv import encoder_apply_fused
+
+            return encoder_apply_fused(
+                self.encoder_params, images,
+                dtype=self.encoder.dtype,
+                group_count=self.encoder.group_count,
+                n_blk_per_group=self.encoder.n_blk_per_group,
+            )
+        return self.encoder.apply({"params": self.encoder_params}, images)
+
     def get_codebook_indices(self, images: jax.Array) -> jax.Array:
         """NHWC logit-Laplace images → (B, H/8 · W/8) int32 token ids."""
-        logits = self.encoder.apply({"params": self.encoder_params}, images)
+        logits = self._encode(images)
         ids = jnp.argmax(logits, axis=-1)
         return ids.reshape(ids.shape[0], -1)
 
     def get_codebook_probs(self, images: jax.Array) -> jax.Array:
-        logits = self.encoder.apply({"params": self.encoder_params}, images)
+        logits = self._encode(images)
         return jax.nn.softmax(logits, axis=-1)
 
     def decode(self, img_seq: jax.Array) -> jax.Array:

@@ -15,7 +15,10 @@ Three implementations behind one signature:
   'xla'       — plain chain (stores probs for backward; batch-64 VLMo-Base
                 OOMs HBM this way — see BENCH.md)
   'pallas'    — hand-written TPU kernels (ops/flash_attention.py): full-row
-                fused kernel ≤1024 tokens, k-blocked online-softmax beyond;
+                fused forward + true flash BACKWARD (dq/dk/dv from five MXU
+                matmuls per head, probabilities reconstituted from the saved
+                logsumexp) ≤1024 tokens, so no (B, H, N, N) tensor reaches
+                HBM in either direction; k-blocked online-softmax beyond;
                 no dropout support (falls back to 'recompute' when dropout
                 is active in training)
 """

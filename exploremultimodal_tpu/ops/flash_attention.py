@@ -1,16 +1,29 @@
-"""Fused (flash-style) attention TPU kernel in Pallas.
+"""Fused (flash-style) attention TPU kernels in Pallas — forward AND backward.
 
 Replaces the reference's unfused softmax-attention matmul chain
-(models/vlmo/vlmo.py:88-95) — the hottest op in every VLMo stream. The kernel
-tiles over (batch·heads, query blocks); each program holds one query tile and
-the full key/value rows in VMEM, computes scores in fp32 on the MXU and the
-softmax-weighted sum without ever writing the (B, H, N, N) score tensor to
-HBM. VLMo sequences are short (txt 40 / img 197 / fused 237 / nlp 512), so
-full K/V rows per program fit comfortably in VMEM (512×64×4B×2 = 256 KiB);
-longer sequences would take a k-blocked online-softmax variant.
+(models/vlmo/vlmo.py:88-95) — the hottest op in every VLMo stream.
+
+Forward: tiles over (batch·heads, query blocks); each program holds one query
+tile and the full key/value rows in VMEM, computes scores in fp32 on the MXU
+and the softmax-weighted sum without ever writing the (B, H, N, N) score
+tensor to HBM. It also emits the per-row logsumexp so the backward can
+reconstitute probabilities exactly.
+
+Backward: one program per (batch·head) recomputes the score tile in VMEM from
+(q, k, bias, lse) and produces dq/dk/dv with five MXU matmuls — the standard
+flash-attention backward (dv = pᵀ·do, ds = p·(do·vᵀ − rowsum(do·o)),
+dq = ds·k, dk = dsᵀ·q). No (B, H, N, N) tensor ever reaches HBM in either
+direction, which is what buys large-batch training headroom (BENCH.md: the
+XLA backward's transient N² buffers were the batch-64 OOM).
+
+VLMo sequences are short (txt 40 / img 197 / fused 237 / nlp 512), so full
+K/V rows per program fit comfortably in VMEM (512×64×4B×2 = 256 KiB); longer
+sequences take the k-blocked online-softmax forward with an XLA-recompute
+backward.
 
 Numerics: max-subtracted softmax in fp32, matching jax.nn.softmax, so the
-XLA path and this kernel agree to fp32 tolerance (tests/test_ops.py).
+XLA path and this kernel agree to fp32 tolerance (tests/test_ops.py), and
+gradients agree with differentiating the XLA chain.
 """
 
 from __future__ import annotations
@@ -33,6 +46,14 @@ LONG_SEQ_THRESHOLD = 1024
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _interpret() -> bool:
+    # CPU (tests) has no Mosaic backend; run interpreted there
+    return jax.default_backend() == "cpu"
+
+
+# --------------------------------------------------------------- fwd kernels
 
 
 def _attn_long_kernel(
@@ -74,7 +95,7 @@ def _attn_long_kernel(
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale: float):
     q = q_ref[0].astype(jnp.float32)  # (BQ, D)
     k = k_ref[0].astype(jnp.float32)  # (N, D)
     scores = jax.lax.dot_general(
@@ -89,22 +110,123 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     v = v_ref[0].astype(jnp.float32)  # (N, D)
     out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
     o_ref[0] = out.astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(denom))[:, 0]
 
 
-def flash_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    *,
-    bias: jax.Array | None = None,
-    scale: float,
-) -> jax.Array:
-    """Differentiable fused attention: Pallas forward kernel + recompute
-    backward (the standard flash-attention trade: no stored probabilities;
-    the backward re-derives them — here via the XLA chain, which XLA fuses)."""
-    if bias is None:
-        bias = jnp.zeros((q.shape[0], 1, 1, q.shape[2]), jnp.float32)
-    return _flash_attention_vjp(q, k, v, bias, scale)
+def _attn_bwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref, lse_ref,
+    dq_ref, dk_ref, dv_ref, *, scale: float
+):
+    """Full-row flash backward for one (batch, head): five MXU matmuls,
+    score/probability tiles live only in VMEM."""
+    q = q_ref[0].astype(jnp.float32)   # (N, D)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]                    # (N,)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias_ref[0]             # (N, N); bias (1, N) broadcasts
+    p = jnp.exp(s - lse[:, None])       # exact probabilities, no re-softmax
+
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (N, 1)
+    dv = jax.lax.dot_general(            # pᵀ · do
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(            # do · vᵀ
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(            # dsᵀ · q
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+# ------------------------------------------------------------- pallas calls
+
+
+def _fwd_call(qf, kf, vf, key_bias, scale):
+    """qf/kf/vf: (BH, N, D) with N a multiple of BLOCK_Q; key_bias (B, 1, N).
+    Returns (out (BH, N, D), lse (BH, N) fp32)."""
+    BH, N, D = qf.shape
+    B = key_bias.shape[0]
+    H = BH // B
+    n_q_blocks = N // BLOCK_Q
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct(qf.shape, qf.dtype),
+            jax.ShapeDtypeStruct((BH, N), jnp.float32),
+        ),
+        grid=(BH, n_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, D), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, D), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, D), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda bh, i, H=H: (bh // H, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BLOCK_Q, D), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q), lambda bh, i: (bh, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * N * N * D,
+            bytes_accessed=4 * BH * N * D * qf.dtype.itemsize,
+            transcendentals=BH * N * N,
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf, key_bias)
+
+
+def _bwd_call(qf, kf, vf, key_bias, of, dof, lse, scale):
+    """Flash backward on the flat padded layout; returns (dq, dk, dv)."""
+    BH, N, D = qf.shape
+    B = key_bias.shape[0]
+    H = BH // B
+    row = lambda bh: (bh, 0, 0)  # noqa: E731
+    full = pl.BlockSpec((1, N, D), row, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct(qf.shape, qf.dtype),
+            jax.ShapeDtypeStruct(kf.shape, kf.dtype),
+            jax.ShapeDtypeStruct(vf.shape, vf.dtype),
+        ),
+        grid=(BH,),
+        in_specs=[
+            full, full, full,
+            pl.BlockSpec((1, 1, N), lambda bh, H=H: (bh // H, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full, full,
+            pl.BlockSpec((1, N), lambda bh: (bh, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(full, full, full),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * BH * N * N * D,
+            bytes_accessed=9 * BH * N * D * qf.dtype.itemsize,
+            transcendentals=BH * N * N,
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf, key_bias, of, dof, lse)
+
+
+# --------------------------------------------------------------- custom VJP
 
 
 def _xla_reference(q, k, v, bias, scale):
@@ -116,36 +238,115 @@ def _xla_reference(q, k, v, bias, scale):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def _xla_reference_flat(qf, kf, vf, key_bias, scale):
+    """XLA chain on the flat (BH, N, D) layout, for the long-seq backward."""
+    B = key_bias.shape[0]
+    H = qf.shape[0] // B
+    scores = jnp.einsum(
+        "bnd,bkd->bnk", qf, kf, preferred_element_type=jnp.float32
+    ) * scale
+    scores = scores + jnp.repeat(key_bias.astype(scores.dtype), H, axis=0)
+    probs = jax.nn.softmax(scores, axis=-1).astype(vf.dtype)
+    return jnp.einsum("bnk,bkd->bnd", probs, vf)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash_attention_vjp(q, k, v, bias, scale):
-    return _flash_attention_fwd_kernel(q, k, v, bias, scale)
+def _flash_core(qf, kf, vf, key_bias, scale):
+    out, _ = _fwd_call(qf, kf, vf, key_bias, scale)
+    return out
 
 
-def _flash_fwd(q, k, v, bias, scale):
-    out = _flash_attention_fwd_kernel(q, k, v, bias, scale)
-    return out, (q, k, v, bias)
+def _flash_core_fwd(qf, kf, vf, key_bias, scale):
+    out, lse = _fwd_call(qf, kf, vf, key_bias, scale)
+    return out, (qf, kf, vf, key_bias, out, lse)
 
 
-def _flash_bwd(scale, residuals, g):
-    q, k, v, bias = residuals
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, bias, scale),
-                     q, k, v)
+def _flash_core_bwd(scale, residuals, g):
+    qf, kf, vf, key_bias, out, lse = residuals
+    dq, dk, dv = _bwd_call(qf, kf, vf, key_bias, out, g, lse, scale)
+    return dq, dk, dv, None
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_long(qf, kf, vf, key_bias, scale):
+    return _long_fwd_call(qf, kf, vf, key_bias, scale)
+
+
+def _flash_long_fwd(qf, kf, vf, key_bias, scale):
+    return _long_fwd_call(qf, kf, vf, key_bias, scale), (qf, kf, vf, key_bias)
+
+
+def _flash_long_bwd(scale, residuals, g):
+    qf, kf, vf, key_bias = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_reference_flat(q_, k_, v_, key_bias, scale),
+        qf, kf, vf,
+    )
     dq, dk, dv = vjp(g)
     return dq, dk, dv, None
 
 
-_flash_attention_vjp.defvjp(_flash_fwd, _flash_bwd)
+_flash_long.defvjp(_flash_long_fwd, _flash_long_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def _flash_attention_fwd_kernel(
+def _long_fwd_call(qf, kf, vf, key_bias, scale):
+    BH, n_pad, D = qf.shape
+    B = key_bias.shape[0]
+    H = BH // B
+    n_q_blocks = n_pad // BLOCK_Q
+    n_k_blocks = n_pad // BLOCK_K if n_pad % BLOCK_K == 0 else None
+    bk = BLOCK_K if n_k_blocks else BLOCK_Q
+    n_k_blocks = n_k_blocks or (n_pad // BLOCK_Q)
+    return pl.pallas_call(
+        functools.partial(_attn_long_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(qf.shape, qf.dtype),
+        grid=(BH, n_q_blocks, n_k_blocks),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, D), lambda bh, i, j: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda bh, i, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda bh, i, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk), lambda bh, i, j, H=H: (bh // H, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, D), lambda bh, i, j: (bh, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * n_pad * n_pad * D,
+            bytes_accessed=4 * BH * n_pad * D * qf.dtype.itemsize,
+            transcendentals=BH * n_pad * n_pad,
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf, key_bias)
+
+
+# ---------------------------------------------------------------- public API
+
+
+def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    bias: jax.Array,
+    *,
+    bias: jax.Array | None = None,
     scale: float,
 ) -> jax.Array:
-    """q, k, v: (B, H, N, D); bias: (B, 1, 1, N) additive."""
+    """Differentiable fused attention: Pallas forward + Pallas flash backward
+    (≤ LONG_SEQ_THRESHOLD tokens; longer sequences use the k-blocked
+    online-softmax forward with an XLA-recompute backward).
+
+    q, k, v: (B, H, N, D); bias: (B, 1, 1, N) additive key-padding bias.
+    """
     B, H, N, D = q.shape
     n_pad = _round_up(N, BLOCK_Q)
 
@@ -154,8 +355,9 @@ def _flash_attention_fwd_kernel(
     else:
         key_bias = bias.astype(jnp.float32).reshape(B, 1, N)
     if n_pad != N:
-        pad = [(0, 0), (0, 0), (0, n_pad - N)]
-        key_bias = jnp.pad(key_bias, pad, constant_values=NEG_INF)
+        key_bias = jnp.pad(
+            key_bias, [(0, 0), (0, 0), (0, n_pad - N)], constant_values=NEG_INF
+        )
         qkv_pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
         q = jnp.pad(q, qkv_pad)
         k = jnp.pad(k, qkv_pad)
@@ -165,70 +367,7 @@ def _flash_attention_fwd_kernel(
     kf = k.reshape(B * H, n_pad, D)
     vf = v.reshape(B * H, n_pad, D)
 
-    n_q_blocks = n_pad // BLOCK_Q
-
-    if n_pad > LONG_SEQ_THRESHOLD:
-        n_k_blocks = n_pad // BLOCK_K if n_pad % BLOCK_K == 0 else None
-        bk = BLOCK_K if n_k_blocks else BLOCK_Q
-        n_k_blocks = n_k_blocks or (n_pad // BLOCK_Q)
-        out = pl.pallas_call(
-            functools.partial(_attn_long_kernel, scale=scale),
-            out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
-            grid=(B * H, n_q_blocks, n_k_blocks),
-            in_specs=[
-                pl.BlockSpec((1, BLOCK_Q, D), lambda bh, i, j: (bh, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bk, D), lambda bh, i, j: (bh, j, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bk, D), lambda bh, i, j: (bh, j, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, bk), lambda bh, i, j, H=H: (bh // H, 0, j),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, BLOCK_Q, D), lambda bh, i, j: (bh, i, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
-                pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
-                pltpu.VMEM((BLOCK_Q, D), jnp.float32),
-            ],
-            cost_estimate=pl.CostEstimate(
-                flops=4 * B * H * n_pad * n_pad * D,
-                bytes_accessed=4 * B * H * n_pad * D * q.dtype.itemsize,
-                transcendentals=B * H * n_pad * n_pad,
-            ),
-            interpret=jax.default_backend() == "cpu",
-        )(qf, kf, vf, key_bias)
-        out = out.reshape(B, H, n_pad, D)
-        return out[:, :, :N, :] if n_pad != N else out
-
-    grid = (B * H, n_q_blocks)
-
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, BLOCK_Q, D), lambda bh, i: (bh, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, D), lambda bh, i: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, D), lambda bh, i: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda bh, i, H=H: (bh // H, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, BLOCK_Q, D), lambda bh, i: (bh, i, 0),
-                               memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * n_pad * n_pad * D,
-            bytes_accessed=3 * B * H * n_pad * D * q.dtype.itemsize
-            + B * H * n_pad * D * q.dtype.itemsize,
-            transcendentals=B * H * n_pad * n_pad,
-        ),
-        # CPU (tests) has no Mosaic backend; run interpreted there
-        interpret=jax.default_backend() == "cpu",
-    )(qf, kf, vf, key_bias)
-
+    core = _flash_long if n_pad > LONG_SEQ_THRESHOLD else _flash_core
+    out = core(qf, kf, vf, key_bias, scale)
     out = out.reshape(B, H, n_pad, D)
     return out[:, :, :N, :] if n_pad != N else out

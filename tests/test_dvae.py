@@ -120,6 +120,46 @@ def test_token_ids_bit_exact_vs_torch():
     np.testing.assert_array_equal(ids_jax, ids_torch)  # bit-exact token ids
 
 
+def test_fused_encoder_blocks_match_xla_and_tokens_bit_exact():
+    """The Pallas fused residual-block encoder (ops/dvae_conv.py) must agree
+    with the flax/XLA encoder to fp32 tolerance, and token ids must be
+    bit-exact. n_hid=128 makes every block satisfy the 128-channel DMA
+    alignment so all 4 groups exercise the fused kernel (interpreted on CPU)."""
+    import exploremultimodal_tpu.ops.dvae_conv as dvae_conv
+    from exploremultimodal_tpu.models.dvae import DalleEncoder
+
+    enc = DalleEncoder(n_hid=128, n_blk_per_group=1, vocab_size=16)
+    img = jnp.asarray(
+        np.random.default_rng(3).random((1, 32, 32, 3)), jnp.float32
+    )
+    params = enc.init(jax.random.key(7), img)["params"]
+
+    n_fused = 0
+    orig = dvae_conv.fused_encoder_block
+
+    def counting(*a, **kw):
+        nonlocal n_fused
+        n_fused += 1
+        return orig(*a, **kw)
+
+    dvae_conv.fused_encoder_block, saved = counting, orig
+    try:
+        logits_fused = dvae_conv.encoder_apply_fused(
+            params, img, n_blk_per_group=1
+        )
+    finally:
+        dvae_conv.fused_encoder_block = saved
+    logits_xla = enc.apply({"params": params}, img)
+
+    assert n_fused == 4, f"expected all 4 blocks fused, got {n_fused}"
+    np.testing.assert_allclose(
+        np.asarray(logits_fused), np.asarray(logits_xla), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(logits_fused).argmax(-1), np.asarray(logits_xla).argmax(-1)
+    )
+
+
 def test_encoder_downsamples_8x_and_facade():
     vae = DalleVAE(image_size=64)
     # narrow test-sized stacks

@@ -106,6 +106,28 @@ def test_pallas_attention_gradients_match_xla():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_backward_matches_xla_at_vlmo_shapes():
+    """The Pallas flash BACKWARD kernel (dq/dk/dv from the saved logsumexp)
+    must agree with differentiating the XLA chain at a padded, masked VLMo
+    shape (N=237 → padded 256)."""
+    rng = np.random.default_rng(13)
+    q, k, v = _rand_qkv(rng, B=2, H=3, N=237, D=64)
+    mask = np.ones((2, 237), np.int32)
+    mask[0, 200:] = 0
+    bias = key_padding_bias(jnp.asarray(mask))
+
+    def grads(impl):
+        def f(q, k, v):
+            out = multi_head_attention(q, k, v, bias=bias, impl=impl)
+            return jnp.sum(out * jnp.sin(out))
+
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    for a, b in zip(grads("xla"), grads("pallas")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_long_sequence_flash_attention_matches_xla():
     """N > 1024 takes the k-blocked online-softmax kernel; parity vs XLA."""
     rng = np.random.default_rng(11)
