@@ -141,6 +141,7 @@ def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
             # dropout stay on); recompute attention never stores the
             # (B,H,N,N) probs either way
             "model.attn_drop_rate=0.0",
+            f"attn_impl={os.environ.get('BENCH_ATTN', 'recompute')}",
             "train.warmup_steps=2",
             "exp_dir=/tmp/emm_bench",
             "log_level=error",
@@ -148,7 +149,7 @@ def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
         batch_size, n_warmup, n_iters,
     )
     result["detail"]["losses"] = "mlm+itc+itm+mim (incl. dVAE tokenize)"
-    result["detail"]["attn"] = "recompute (attn_drop 0)"
+    result["detail"]["attn"] = os.environ.get("BENCH_ATTN", "recompute") + " (attn_drop 0)"
     return result
 
 

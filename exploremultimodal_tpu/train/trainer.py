@@ -578,6 +578,13 @@ class Trainer:
                 count_key = k.replace("_mean_acc", "_count").replace(
                     "_mean_score", "_count"
                 )
+                if count_key != k and count_key not in counts:
+                    # a per-sample-averaged metric MUST have its count; a
+                    # silent weight-1 default would skew averages unnoticed
+                    raise KeyError(
+                        f"eval metric '{k}' has no matching '{count_key}' in "
+                        f"counts {sorted(counts)}; emit it from the objective"
+                    )
                 add(k, float(np.asarray(v)),
                     float(np.asarray(counts.get(count_key, 1.0))))
             # NLVR2 dev/test bucketing by table_name (objectives.py:917-941)
@@ -596,10 +603,11 @@ class Trainer:
 
     # ------------------------------------------------------- throughput mode
 
-    def throughput(self, n_warmup: int = 10, n_iters: int = 50) -> float:
+    def throughput(self, n_warmup: int = 20, n_iters: int = 200) -> float:
         """samples/sec of the full train step (reference throughput_mode,
         multimodal.py:458-482, measured with device sync instead of CUDA
-        events)."""
+        events). Timed in 4 chunks so a single compile/GC hiccup shows up as
+        variance instead of silently moving the headline number."""
         loader = self.data.train_loader()
         batch = self.feeder(iter(loader)).__next__()
         state = self.init_state(batch)
@@ -614,15 +622,21 @@ class Trainer:
         for _ in range(n_warmup):
             state, m = train_step(state, batch, epoch_arr)
         sync(m)
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            state, m = train_step(state, batch, epoch_arr)
-        sync(m)
-        dt = time.perf_counter() - t0
         bs = self.cfg.data.batch_size
-        sps = n_iters * bs / dt
+        n_chunks = 4
+        per_chunk = max(n_iters // n_chunks, 1)
+        chunk_sps = []
+        for _ in range(n_chunks):
+            t0 = time.perf_counter()
+            for _ in range(per_chunk):
+                state, m = train_step(state, batch, epoch_arr)
+            sync(m)
+            chunk_sps.append(per_chunk * bs / (time.perf_counter() - t0))
+        sps = float(np.mean(chunk_sps))
+        std = float(np.std(chunk_sps))
         self.logger.info(
-            f"throughput: {sps:.1f} samples/s ({dt/n_iters*1000:.1f} ms/step, "
-            f"batch {bs})"
+            f"throughput: {sps:.1f} ± {std:.1f} samples/s "
+            f"({bs / sps * 1000:.1f} ms/step, batch {bs}, "
+            f"{n_chunks}×{per_chunk} iters)"
         )
         return sps

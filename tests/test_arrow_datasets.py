@@ -147,3 +147,31 @@ def test_multitask_data_synthetic_end_to_end():
     assert batch["text_ids_mlm"].shape == (4, 40)
     assert batch["image_bool_masked_pos"].shape == (4, 196)
     assert batch["image_bool_masked_pos"].sum(-1).min() >= 75
+
+
+def test_gcc_style_31_shard_concat(tmp_path):
+    """The gcc×31 shard path (datamodule.py ARROW_TABLES['gcc']): one
+    ImageTextArrowDataset over 31 shard tables must concatenate row spaces in
+    shard order with caption flattening intact across shard boundaries."""
+    rng = np.random.default_rng(7)
+    rows_per_shard = [(i % 3) + 1 for i in range(31)]  # 1..3 rows each
+    for i, n in enumerate(rows_per_shard):
+        table = pa.table({
+            "image": [_jpeg_bytes(rng, 24, 24) for _ in range(n)],
+            "caption": [[f"shard {i} row {r}"] for r in range(n)],
+        })
+        _write_arrow(tmp_path / f"gcc_{i}.arrow", table)
+
+    ds = ImageTextArrowDataset(
+        str(tmp_path), [f"gcc_{i}" for i in range(31)],
+        transform=EvalTransform(16), tokenizer=get_tokenizer(),
+        max_text_len=16,
+    )
+    assert len(ds) == sum(rows_per_shard)
+    # first sample of shard 0, last sample of shard 30, and a middle boundary
+    assert ds.get_raw_text(0) == "shard 0 row 0"
+    assert ds.get_raw_text(len(ds) - 1) == f"shard 30 row {rows_per_shard[-1] - 1}"
+    first_of_shard_1 = rows_per_shard[0]
+    assert ds.get_raw_text(first_of_shard_1) == "shard 1 row 0"
+    s = ds[len(ds) - 1]
+    assert s["image_u8"].shape == (16, 16, 3)
