@@ -201,7 +201,10 @@ def bench_dvae(batch_size: int, n_warmup: int, n_iters: int) -> dict:
 
     from exploremultimodal_tpu.models.dvae import DalleVAE, map_pixels
 
-    vae = DalleVAE(256)
+    # bf16 compute (vs the fp16 torch A100 baseline); fused=False — the XLA
+    # conv path beats the Pallas fused kernel ~2.2× at this shape (BENCH.md)
+    vae = DalleVAE(256, dtype=jnp.bfloat16,
+                   fused=os.environ.get("BENCH_DVAE_FUSED", "") == "1")
     vae.init_random(jax.random.key(0))
     img = jnp.asarray(
         np.random.default_rng(0).random((batch_size, 256, 256, 3)), jnp.float32

@@ -178,13 +178,16 @@ class DalleDecoder(nn.Module):
 class DalleVAE:
     """Frozen tokenizer façade (Dalle_VAE, modeling_discrete_vae.py:224-270).
 
-    `fused=None` (auto) routes the encoder through the Pallas fused residual-
-    block kernels (ops/dvae_conv.py) on TPU backends and through plain XLA
-    convs on CPU; pass True/False to force either path. Both are numerically
-    identical (tests/test_dvae.py fused-parity test)."""
+    `fused=True` routes the encoder through the Pallas fused residual-block
+    kernels (ops/dvae_conv.py); both paths are numerically identical
+    (tests/test_dvae.py fused-parity test). Default is the XLA conv path:
+    measured on TPU v5e at the 256² bench shape (chained on-device loop,
+    BENCH.md round 2), XLA's conv emitter beats the hand-fused kernel ~2.2×
+    in both fp32 (25.4 vs 59.9 ms/b8) and bf16 (22.3 vs 47.4 ms/b8) — the
+    small-channel bottleneck convs underfill the MXU as shifted matmuls."""
 
     def __init__(self, image_size: int, encoder_params=None, decoder_params=None,
-                 dtype: Any = jnp.float32, fused: bool | None = None):
+                 dtype: Any = jnp.float32, fused: bool = False):
         self.image_size = image_size
         self.encoder = DalleEncoder(dtype=dtype)
         self.decoder = DalleDecoder(dtype=dtype)
@@ -202,10 +205,7 @@ class DalleVAE:
         self.decoder_params = self.decoder.init(r2, dummy_z)["params"]
 
     def _encode(self, images: jax.Array) -> jax.Array:
-        fused = self.fused
-        if fused is None:
-            fused = jax.default_backend() != "cpu"
-        if fused:
+        if self.fused:
             from ..ops.dvae_conv import encoder_apply_fused
 
             return encoder_apply_fused(

@@ -39,9 +39,14 @@ from exploremultimodal_tpu.ops.attention import NEG_INF
 
 BLOCK_Q = 128
 BLOCK_K = 512
-# sequences at or below this keep the simpler full-row kernel (K/V rows fit
-# VMEM comfortably); longer ones stream K/V blocks with online softmax
+# sequences at or below this use the fused Pallas BACKWARD too (the full-row
+# bwd kernel holds an (N, N) fp32 score tile in VMEM — 4 MiB at 1024)
 LONG_SEQ_THRESHOLD = 1024
+# ... above that the backward is XLA-recompute, and the full-row FORWARD
+# kernel is kept while a (BLOCK_Q, N) score tile + K/V rows fit VMEM
+# (128·4096·4 = 2 MiB scores); only beyond this does the k-blocked
+# online-softmax kernel pay for its per-program overhead
+FULL_ROW_FWD_MAX = 4096
 
 
 def _round_up(x: int, m: int) -> int:
@@ -110,7 +115,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale: float)
     v = v_ref[0].astype(jnp.float32)  # (N, D)
     out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
     o_ref[0] = out.astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(denom))[:, 0]
+    lse_ref[0] = m + jnp.log(denom)  # (BQ, 1)
 
 
 def _attn_bwd_kernel(
@@ -124,13 +129,13 @@ def _attn_bwd_kernel(
     v = v_ref[0].astype(jnp.float32)
     o = o_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]                    # (N,)
+    lse = lse_ref[0]                    # (N, 1)
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale + bias_ref[0]             # (N, N); bias (1, N) broadcasts
-    p = jnp.exp(s - lse[:, None])       # exact probabilities, no re-softmax
+    p = jnp.exp(s - lse)                # exact probabilities, no re-softmax
 
     delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (N, 1)
     dv = jax.lax.dot_general(            # pᵀ · do
@@ -157,7 +162,8 @@ def _attn_bwd_kernel(
 
 def _fwd_call(qf, kf, vf, key_bias, scale):
     """qf/kf/vf: (BH, N, D) with N a multiple of BLOCK_Q; key_bias (B, 1, N).
-    Returns (out (BH, N, D), lse (BH, N) fp32)."""
+    Returns (out (BH, N, D), lse (BH, N, 1) fp32 — trailing singleton keeps
+    the block shape (1, BLOCK_Q, 1) legal for Mosaic's (8, 128) tiling rule)."""
     BH, N, D = qf.shape
     B = key_bias.shape[0]
     H = BH // B
@@ -166,7 +172,7 @@ def _fwd_call(qf, kf, vf, key_bias, scale):
         functools.partial(_attn_kernel, scale=scale),
         out_shape=(
             jax.ShapeDtypeStruct(qf.shape, qf.dtype),
-            jax.ShapeDtypeStruct((BH, N), jnp.float32),
+            jax.ShapeDtypeStruct((BH, N, 1), jnp.float32),
         ),
         grid=(BH, n_q_blocks),
         in_specs=[
@@ -182,7 +188,7 @@ def _fwd_call(qf, kf, vf, key_bias, scale):
         out_specs=(
             pl.BlockSpec((1, BLOCK_Q, D), lambda bh, i: (bh, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q), lambda bh, i: (bh, i),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda bh, i: (bh, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         cost_estimate=pl.CostEstimate(
@@ -214,7 +220,8 @@ def _bwd_call(qf, kf, vf, key_bias, of, dof, lse, scale):
             pl.BlockSpec((1, 1, N), lambda bh, H=H: (bh // H, 0, 0),
                          memory_space=pltpu.VMEM),
             full, full,
-            pl.BlockSpec((1, N), lambda bh: (bh, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(full, full, full),
         cost_estimate=pl.CostEstimate(
@@ -270,13 +277,24 @@ def _flash_core_bwd(scale, residuals, g):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash_long(qf, kf, vf, key_bias, scale):
+def _long_primal(qf, kf, vf, key_bias, scale):
+    """Forward for sequences past the fused-backward limit: the full-row
+    kernel still wins while K/V rows + a (BLOCK_Q, N) score tile fit VMEM
+    (≤ FULL_ROW_FWD_MAX); only beyond that is the k-blocked online-softmax
+    kernel worth its extra per-program overhead."""
+    if qf.shape[1] <= FULL_ROW_FWD_MAX:
+        out, _ = _fwd_call(qf, kf, vf, key_bias, scale)
+        return out
     return _long_fwd_call(qf, kf, vf, key_bias, scale)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_long(qf, kf, vf, key_bias, scale):
+    return _long_primal(qf, kf, vf, key_bias, scale)
+
+
 def _flash_long_fwd(qf, kf, vf, key_bias, scale):
-    return _long_fwd_call(qf, kf, vf, key_bias, scale), (qf, kf, vf, key_bias)
+    return _long_primal(qf, kf, vf, key_bias, scale), (qf, kf, vf, key_bias)
 
 
 def _flash_long_bwd(scale, residuals, g):

@@ -2,8 +2,13 @@
 
 Compares fwd and fwd+bwd wall time of the three `multi_head_attention`
 implementations ('xla', 'recompute', 'pallas') at the shapes the pretrain
-step actually runs (see BENCH.md). Timings use a device→host scalar readback
-fence (block_until_ready does not fence the tunneled axon backend).
+step actually runs (see BENCH.md).
+
+Methodology: K iterations are chained INSIDE one jitted fori_loop with a
+genuine data dependency (q perturbed by the running loss), so per-dispatch
+tunnel latency (~25-30 ms on the axon backend) and host sync cost are
+amortized to nothing. A plain per-call loop measures mostly dispatch at
+these op sizes — round-1 numbers measured that way are not comparable.
 
 Usage:  python scripts/microbench_attention.py [iters]
 """
@@ -17,28 +22,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from exploremultimodal_tpu.ops import multi_head_attention
-from exploremultimodal_tpu.ops.attention import key_padding_bias
+sys.path.insert(0, "/root/repo")
+
+from exploremultimodal_tpu.ops import multi_head_attention  # noqa: E402
+from exploremultimodal_tpu.ops.attention import key_padding_bias  # noqa: E402
+
+K = 20  # chained iterations per measurement
 
 
 def _sync(x) -> None:
     np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0])).ravel()[:1]
 
 
-def timeit(fn, iters: int) -> float:
-    out = None
-    for _ in range(3):
-        out = fn()
+def chain_time(op, q, k, v, iters: int) -> float:
+    """ms per op: K on-device chained calls, `iters` outer reps."""
+
+    @jax.jit
+    def many(q, k, v):
+        def body(i, carry):
+            s, q = carry
+            out = op(q + s * 1e-20, k, v)
+            s = s + jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum() * 1e-30
+            return s, q
+        s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0), q))
+        return s
+
+    out = many(q, k, v)
     _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn()
+        out = many(q, k, v)
     _sync(out)
-    return (time.perf_counter() - t0) / iters * 1000  # ms
+    return (time.perf_counter() - t0) / iters / K * 1000
 
 
 def main() -> None:
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     dtype = jnp.bfloat16
     shapes = [
         # (B, H, N, D) — VLMo-Base streams at batch 32 / ITM 3·bs / batch 64
@@ -47,6 +66,7 @@ def main() -> None:
         (64, 12, 237, 64),
         (192, 12, 237, 64),
         (32, 12, 512, 64),
+        (8, 12, 2048, 64),
     ]
     rng = np.random.default_rng(0)
     for B, H, N, D in shapes:
@@ -58,19 +78,18 @@ def main() -> None:
         bias = key_padding_bias(jnp.asarray(mask))
         row = {"shape": f"B{B} H{H} N{N} D{D}"}
         for impl in ("xla", "recompute", "pallas"):
-            fwd = jax.jit(
-                lambda q, k, v, impl=impl: multi_head_attention(
-                    q, k, v, bias=bias, impl=impl
-                )
-            )
+            def fwd_op(q, k, v, impl=impl):
+                return multi_head_attention(q, k, v, bias=bias, impl=impl)
 
-            def loss(q, k, v, impl=impl):
-                out = multi_head_attention(q, k, v, bias=bias, impl=impl)
-                return jnp.sum(out.astype(jnp.float32) ** 2)
+            def grad_op(q, k, v, impl=impl):
+                def loss(q):
+                    out = multi_head_attention(q, k, v, bias=bias, impl=impl)
+                    return jnp.sum(out.astype(jnp.float32) ** 2)
 
-            step = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
-            row[f"{impl}_fwd_ms"] = round(timeit(lambda: fwd(q, k, v), iters), 3)
-            row[f"{impl}_fbwd_ms"] = round(timeit(lambda: step(q, k, v), iters), 3)
+                return jax.grad(loss)(q)
+
+            row[f"{impl}_fwd_ms"] = round(chain_time(fwd_op, q, k, v, iters), 3)
+            row[f"{impl}_fbwd_ms"] = round(chain_time(grad_op, q, k, v, iters), 3)
         print(row, flush=True)
 
 

@@ -129,9 +129,10 @@ def test_pallas_backward_matches_xla_at_vlmo_shapes():
 
 
 def test_long_sequence_flash_attention_matches_xla():
-    """N > 1024 takes the k-blocked online-softmax kernel; parity vs XLA."""
+    """LONG_SEQ_THRESHOLD < N <= FULL_ROW_FWD_MAX keeps the full-row forward
+    kernel with an XLA-recompute backward; parity vs XLA."""
     rng = np.random.default_rng(11)
-    N = 1536  # > LONG_SEQ_THRESHOLD, exercises 3 K-blocks of 512
+    N = 1536
     q, k, v = _rand_qkv(rng, B=1, H=2, N=N, D=32)
     mask = np.ones((1, N), np.int32)
     mask[0, 1200:] = 0
@@ -150,3 +151,19 @@ def test_long_sequence_flash_attention_matches_xla():
     ))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_beyond_full_row_k_blocked_kernel_matches_xla():
+    """N > FULL_ROW_FWD_MAX streams K/V blocks with online softmax."""
+    from exploremultimodal_tpu.ops.flash_attention import FULL_ROW_FWD_MAX
+
+    rng = np.random.default_rng(12)
+    N = FULL_ROW_FWD_MAX + 128
+    q, k, v = _rand_qkv(rng, B=1, H=1, N=N, D=32)
+    mask = np.ones((1, N), np.int32)
+    mask[0, N - 300:] = 0
+    bias = key_padding_bias(jnp.asarray(mask))
+    ref = multi_head_attention(q, k, v, bias=bias, impl="xla")
+    out = multi_head_attention(q, k, v, bias=bias, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
