@@ -28,13 +28,24 @@ TENSOR_AXIS = "tensor"
 MESH_AXES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS)
 
 
+_runtime_initialized = False
+
+
 def initialize_runtime(cfg: Any) -> None:
-    """Multi-host init (no-op single process).
+    """PRNG impl + multi-host init (idempotent; no-op single process).
 
     Reference parity: init_distributed_mode reads torchrun/SLURM env; here a
     coordinator address + process count drive jax.distributed.initialize.
+    Called from main() and defensively from Trainer.__init__ (library use).
     """
+    global _runtime_initialized
     rt = cfg.get("runtime", {})
+    impl = rt.get("prng_impl")
+    if impl:
+        jax.config.update("jax_default_prng_impl", impl)
+    if _runtime_initialized:
+        return
+    _runtime_initialized = True
     if rt.get("coordinator_address"):
         jax.distributed.initialize(
             coordinator_address=rt["coordinator_address"],

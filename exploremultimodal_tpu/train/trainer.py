@@ -38,7 +38,7 @@ from exploremultimodal_tpu.models import build_model, total_loss
 from exploremultimodal_tpu.models.dvae import create_d_vae
 from exploremultimodal_tpu.models.task import VlmoTask
 from exploremultimodal_tpu.ops.preprocess import preprocess_batch
-from exploremultimodal_tpu.parallel import create_mesh
+from exploremultimodal_tpu.parallel import create_mesh, initialize_runtime
 from exploremultimodal_tpu.parallel.partitioning import (
     opt_state_specs,
     param_specs,
@@ -70,6 +70,7 @@ def _metrics_from_outputs(outputs: dict) -> dict:
 class Trainer:
     def __init__(self, cfg: Any, logger=None):
         self.cfg = cfg
+        initialize_runtime(cfg)  # idempotent: PRNG impl + multi-host
         # output_dir = this run's dir (checkpoints/logs); exp_dir = the
         # stable tag-level dir auto-resume scans across timestamped subruns
         # (reference main.py:102-105 + utils.py auto_load_model)
