@@ -253,13 +253,15 @@ def bench_bert_mlm(batch_size: int, n_warmup: int, n_iters: int) -> dict:
         ),
         "text_mask": jnp.ones((batch_size, L), jnp.int32),
     }
-    init_batch = dict(batch)
-    init_batch["image"] = jnp.zeros((batch_size, 224, 224, 3))
+    # no image: pretrain_txt's expert layout has no 'vl' route, so MLM must
+    # run text-only; init_streams builds its own dummy image for the 'v'
+    # experts the layout keeps
+    init_batch = {k: v for k, v in batch.items() if k != "image"}
     variables = task.init(
         {"params": jax.random.key(0), "sample": jax.random.key(1)},
         init_batch, method=VlmoTask.init_streams,
     )
-    fwd_batch = {k: v for k, v in batch.items() if k != "image"}
+    fwd_batch = dict(init_batch)
     fwd_batch["image"] = None
 
     @jax.jit

@@ -66,7 +66,16 @@ def multi_head_attention(
         ) * scale
         if bias is not None:
             scores = scores + bias.astype(scores.dtype)
-        probs = jax.nn.softmax(scores, axis=-1)
+        # Store the (B, H, N, N) score tensor in the COMPUTE dtype: the fp32
+        # → bf16 cast fuses into the matmul epilogue and the fp32 upcast
+        # fuses into the softmax reductions, so all fp32 math stays inside
+        # fusions and only bf16 ever reaches HBM — attention here is
+        # bandwidth-bound on score traffic (BENCH.md round-2 profile), and
+        # this halves it. In fp32 compute (parity tests) it is a no-op.
+        # Matches the reference under AMP: fp16-stored scores, fp32-internal
+        # softmax (torch autocast softmax rule).
+        scores = scores.astype(v.dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         if use_dropout:
             keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
             probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)

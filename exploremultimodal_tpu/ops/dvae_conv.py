@@ -260,7 +260,6 @@ def fused_encoder_block(
     else:  # placeholders keep the kernel signature static
         args += [jnp.zeros((1, cout), dtype), jnp.zeros((cout,), jnp.float32)]
 
-    nh = w1.shape[-1]
     flops_conv = (
         9 * (cin * nh + 2 * nh * nh) + nh * cout + (cin * cout if has_id else 0)
     )
