@@ -104,36 +104,28 @@ class ImageTextArrowDataset:
         caps = self._captions[row]
         return caps[j] if isinstance(caps, list) else caps
 
+    def _load_view(self, row: int, rng: random.Random):
+        """One augmented view of an image row: (image, image4dalle|None)."""
+        if hasattr(self.transform, "from_bytes"):
+            out = self.transform.from_bytes(self.table["image"][row].as_py(), rng)
+        else:
+            img = self._decode_image(row)
+            out = self.transform(img, rng) if self.transform else np.asarray(img)
+        return out if isinstance(out, tuple) else (out, None)
+
     def get_sample(self, index: int, rng: random.Random) -> Sample:
         row, _ = self.index_mapper[index]
         sample: Sample = {"index": index}
 
         if not self.text_only:
-            if hasattr(self.transform, "from_bytes"):
-                out = self.transform.from_bytes(
-                    self.table["image"][row].as_py(), rng
-                )
-            else:
-                img = self._decode_image(row)
-                out = self.transform(img, rng) if self.transform else np.asarray(img)
-            if isinstance(out, tuple):
-                sample["image_u8"], sample["image4dalle_u8"] = out
-            else:
-                sample["image_u8"] = out
+            image, image4dalle = self._load_view(row, rng)
+            sample["image_u8"] = image
+            if image4dalle is not None:
+                sample["image4dalle_u8"] = image4dalle
             if self.emit_image_aug:
                 # second INDEPENDENT augmented view for the momentum branch
                 # (base_dataset.py:88-108 emits image_aug alongside image)
-                if hasattr(self.transform, "from_bytes"):
-                    aug = self.transform.from_bytes(
-                        self.table["image"][row].as_py(), rng
-                    )
-                else:
-                    img = self._decode_image(row)
-                    aug = (
-                        self.transform(img, rng) if self.transform
-                        else np.asarray(img)
-                    )
-                sample["image_aug_u8"] = aug[0] if isinstance(aug, tuple) else aug
+                sample["image_aug_u8"] = self._load_view(row, rng)[0]
             if self.mask_generator is not None:
                 np_rng = np.random.default_rng(rng.getrandbits(32))
                 sample["image_bool_masked_pos"] = self.mask_generator(

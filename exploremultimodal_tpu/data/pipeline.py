@@ -169,15 +169,14 @@ class DeviceFeeder:
         shard_size = int(
             np.prod([self.mesh.shape[a] for a in self.batch_axes])
         )
-        global_rows = v.shape[0] * (
-            jax.process_count() if jax.process_count() > 1 else 1
-        )
-        # batches not divisible by the batch axes (small eval tails)
-        # replicate instead of sharding
-        if v.ndim >= 1 and global_rows % shard_size == 0:
-            return NamedSharding(
-                self.mesh, P(self.batch_axes, *([None] * (v.ndim - 1)))
-            )
+        # batches not divisible by the batch axes (small eval tails, 0-d
+        # scalars) replicate instead of sharding
+        if v.ndim >= 1:
+            global_rows = v.shape[0] * max(jax.process_count(), 1)
+            if global_rows % shard_size == 0:
+                return NamedSharding(
+                    self.mesh, P(self.batch_axes, *([None] * (v.ndim - 1)))
+                )
         return NamedSharding(self.mesh, P())
 
     def _put(self, batch: dict) -> dict:
@@ -186,10 +185,29 @@ class DeviceFeeder:
         if self.mesh is None:
             staged = jax.device_put(arrays)
         elif jax.process_count() > 1:
-            staged = {
-                k: jax.make_array_from_process_local_data(self._sharding(v), v)
-                for k, v in arrays.items()
-            }
+            staged = {}
+            for k, v in arrays.items():
+                sharding = self._sharding(v)
+                if sharding.spec == P():
+                    # replicated fallback (ragged eval tail): every process
+                    # holds a DIFFERENT local slice, so the global value must
+                    # be assembled host-side first — handing local data to
+                    # make_array_from_process_local_data with a replicated
+                    # spec would give devices on different hosts different
+                    # contents for the "same" array (round-2 review finding).
+                    # 0-d scalars are host-uniform (collated constants) and
+                    # stage as-is.
+                    if v.ndim >= 1:
+                        from jax.experimental import multihost_utils
+
+                        g = np.asarray(multihost_utils.process_allgather(v))
+                        # merge the (process, local rows) leading axes
+                        v = g.reshape((-1,) + g.shape[2:])
+                    staged[k] = jax.device_put(v, sharding)
+                else:
+                    staged[k] = jax.make_array_from_process_local_data(
+                        sharding, v
+                    )
         else:
             staged = {
                 k: jax.device_put(v, self._sharding(v))

@@ -37,8 +37,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# row-strip height (output rows per program); must divide the image height
-ROW_TILE = 8
 # fuse a residual block in Pallas only when its weights fit VMEM comfortably
 MAX_FUSED_CIN = 512
 # target VMEM footprint per program (bytes); halve the row tile until it

@@ -39,9 +39,12 @@ from exploremultimodal_tpu.ops.attention import NEG_INF
 
 BLOCK_Q = 128
 BLOCK_K = 512
-# sequences at or below this use the fused Pallas BACKWARD too (the full-row
-# bwd kernel holds an (N, N) fp32 score tile in VMEM — 4 MiB at 1024)
-LONG_SEQ_THRESHOLD = 1024
+# sequences at or below this use the fused Pallas BACKWARD too. The bwd
+# kernel keeps ~4 (N, N) fp32 tiles live (s/p, dp, ds, plus accumulators) —
+# ~4 MiB at N=512 but ~16 MiB at 1024, over the v5e VMEM budget — so the
+# ceiling is 512 (covers every VLMo stream: txt 40 / img 197 / fused 237 /
+# nlp 512)
+LONG_SEQ_THRESHOLD = 512
 # ... above that the backward is XLA-recompute, and the full-row FORWARD
 # kernel is kept while a (BLOCK_Q, N) score tile + K/V rows fit VMEM
 # (128·4096·4 = 2 MiB scores); only beyond this does the k-blocked
@@ -236,17 +239,10 @@ def _bwd_call(qf, kf, vf, key_bias, of, dof, lse, scale):
 # --------------------------------------------------------------- custom VJP
 
 
-def _xla_reference(q, k, v, bias, scale):
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    scores = scores + bias.astype(scores.dtype)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-
-
 def _xla_reference_flat(qf, kf, vf, key_bias, scale):
-    """XLA chain on the flat (BH, N, D) layout, for the long-seq backward."""
+    """XLA chain on the flat (BH, N, D) layout — the single reference
+    implementation, used as the recompute backward beyond the fused-bwd
+    sequence limit."""
     B = key_bias.shape[0]
     H = qf.shape[0] // B
     scores = jnp.einsum(
