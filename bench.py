@@ -166,6 +166,8 @@ def bench_beit_mim(batch_size: int, n_warmup: int, n_iters: int) -> dict:
             "data.num_workers=4",
             "train.discrete_vae_type=random",
             "compute_dtype=bfloat16",
+            # same modern-recipe setting as the headline config
+            "model.attn_drop_rate=0.0",
             "train.warmup_steps=2",
             "exp_dir=/tmp/emm_bench_mim",
             "log_level=error",
@@ -186,6 +188,8 @@ def bench_vqa(batch_size: int, n_warmup: int, n_iters: int) -> dict:
             f"data.synthetic_size={4 * batch_size}",
             "data.num_workers=4",
             "compute_dtype=bfloat16",
+            # same modern-recipe setting as the headline config
+            "model.attn_drop_rate=0.0",
             "train.warmup_steps=2",
             "exp_dir=/tmp/emm_bench_vqa",
             "log_level=error",

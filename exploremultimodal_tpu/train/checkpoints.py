@@ -126,6 +126,34 @@ def _apply_retention(output_dir: str, keep_epoch: int, logger=None) -> None:
                 logger.info(f"removed old checkpoint {path}")
 
 
+def _fetch_url_checkpoint(url: str, logger=None) -> str:
+    """Download a checkpoint URL into a local cache dir (idempotent) and
+    return the cached path — the torch.hub.load_state_dict_from_url analogue
+    (reference utils.py:566-569) without the torch.hub dependency."""
+    import hashlib
+    import urllib.parse
+    import urllib.request
+
+    cache_dir = os.environ.get(
+        "EMM_CKPT_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "emm_checkpoints"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    name = os.path.basename(urllib.parse.urlparse(url).path) or "checkpoint"
+    dest = os.path.join(
+        cache_dir, f"{hashlib.sha256(url.encode()).hexdigest()[:12]}_{name}"
+    )
+    if not os.path.exists(dest):
+        if logger:
+            logger.info(f"downloading checkpoint {url} -> {dest}")
+        tmp = dest + ".part"
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, dest)
+    elif logger:
+        logger.info(f"using cached checkpoint {dest} for {url}")
+    return dest
+
+
 def auto_load(
     output_dir: str,
     state: Any,
@@ -134,8 +162,12 @@ def auto_load(
     logger=None,
 ) -> tuple[Any, int] | None:
     """Resume from the newest checkpoint under output_dir, or from
-    cfg.train.resume (.pth → torch importer). Returns (state, next_epoch)."""
+    cfg.train.resume (.pth → torch importer; http(s)/file URL → fetched to a
+    local cache first, reference utils.py:566-569). Returns
+    (state, next_epoch)."""
     resume = cfg.train.get("resume") or ""
+    if resume.startswith(("http://", "https://", "file://")):
+        resume = _fetch_url_checkpoint(resume, logger)
     if resume.endswith((".pth", ".pt", ".ckpt")):
         return _load_torch(resume, state, cfg, logger), int(
             cfg.train.get("start_epoch", 0)

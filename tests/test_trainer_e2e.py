@@ -367,3 +367,48 @@ def test_checkpoint_scan_across_timestamped_subruns(tmp_path):
     hits = ckpt_lib._scan(str(exp))
     assert [e for e, _ in hits] == [1, 3, 5]
     assert hits[-1][1].endswith("20260102-000000/checkpoint-5")
+
+
+def test_url_checkpoint_resume_via_file_url(tmp_path, monkeypatch):
+    """cfg.train.resume with a URL downloads to the cache then routes through
+    the torch importer (reference utils.py:566-569 torch.hub path)."""
+    import torch
+
+    from exploremultimodal_tpu.config import load_config
+    from exploremultimodal_tpu.train import checkpoints as ckpt_lib
+    from exploremultimodal_tpu.train.trainer import Trainer
+
+    monkeypatch.setenv("EMM_CKPT_CACHE", str(tmp_path / "ckpt_cache"))
+    cfg = load_config([
+        "model=vlmo_debug", "train=pretrain_mum", "train.datasets=[synthetic]",
+        "data.batch_size=4", "data.synthetic_size=8", "data.num_workers=0",
+        "model.img_size=32", "model.max_text_len=12",
+        "data.num_mask_patches=2", "data.min_mask_patches_per_block=1",
+        "compute_dtype=float32", f"exp_dir={tmp_path / 'run'}",
+        "log_level=error",
+    ])
+    trainer = Trainer(cfg)
+    batch = next(iter(trainer.feeder(iter(trainer.data.train_loader()))))
+    state = trainer.init_state(batch)
+
+    # torch checkpoint with a recognizable q_bias value
+    q_bias = np.asarray(
+        state.params["transformer"]["blocks_0"]["attn"]["q_bias"]
+    )
+    sd = {"blocks.0.attn.q_bias": torch.tensor(q_bias + 1.25)}
+    pth = tmp_path / "remote_ckpt.pth"
+    torch.save({"model": sd}, str(pth))
+
+    cfg.train.resume = f"file://{pth}"
+    out = ckpt_lib.auto_load(str(tmp_path / "run"), state, cfg,
+                             logger=trainer.logger)
+    assert out is not None
+    new_state, _ = out
+    np.testing.assert_allclose(
+        np.asarray(new_state.params["transformer"]["blocks_0"]["attn"]["q_bias"]),
+        q_bias + 1.25, rtol=1e-6,
+    )
+    # cached: second load resolves to the same local file without refetch
+    cached = ckpt_lib._fetch_url_checkpoint(f"file://{pth}")
+    assert (tmp_path / "ckpt_cache") in list((tmp_path / "ckpt_cache").parents) or \
+        str(tmp_path / "ckpt_cache") in cached
