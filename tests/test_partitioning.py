@@ -197,3 +197,35 @@ def test_fsdp_offload_preset_loads_and_dp_unaffected(eight_devices):
     trainer = Trainer(cfg2)
     state = trainer.init_state(next(iter(trainer.data.train_loader())))
     assert trainer._offload is False
+
+
+def test_tp_e2e_step_on_fake_mesh(eight_devices):
+    """Full jitted train step under the tensor-parallel preset on a
+    (data=4, tensor=2) fake mesh: Megatron-split params, one real update,
+    finite loss — the e2e counterpart of test_tp_megatron_split."""
+    import jax.numpy as jnp
+
+    from exploremultimodal_tpu.config import load_config
+    from exploremultimodal_tpu.train.trainer import Trainer
+
+    cfg = load_config([
+        "model=vlmo_debug", "train=pretrain_mum", "train.datasets=[synthetic]",
+        "parallel=tp", "runtime.mesh.data=4", "runtime.mesh.tensor=2",
+        "data.batch_size=8", "data.synthetic_size=16", "data.num_workers=1",
+        "model.img_size=32", "model.embed_dim=64", "model.num_heads=2",
+        "model.max_text_len=8",
+        "data.num_mask_patches=2", "data.min_mask_patches_per_block=1",
+        "train.warmup_steps=2", "compute_dtype=float32",
+        "exp_dir=/tmp/emm_tp_e2e", "log_level=error",
+    ])
+    trainer = Trainer(cfg)
+    assert trainer.preset == "tp"
+    batch = next(iter(trainer.feeder(iter(trainer.data.train_loader()))))
+    state = trainer.init_state(batch)
+    # at least one param is split over the tensor axis
+    specs = {s.spec for s in jax.tree.leaves(trainer.state_shardings.params)}
+    assert any("tensor" in str(s) for s in specs)
+    step = trainer.make_train_step()
+    state, metrics = step(state, batch, jnp.asarray(0.0))
+    total = float(metrics["total_loss"])
+    assert np.isfinite(total)
