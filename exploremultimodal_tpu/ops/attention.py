@@ -5,22 +5,24 @@ scores = q @ kᵀ · scale, additive −inf at masked KEY positions (key-padding
 mask broadcast over heads and query positions), softmax, optional attention
 dropout, weighted sum of v. Softmax runs in fp32 regardless of compute dtype.
 
-Three implementations behind one signature:
+Three implementations behind one signature (round-2 e2e numbers: BENCH.md —
+full VLMo-Base pretrain step at batch 32):
   'recompute' — DEFAULT: the XLA einsum chain wrapped in jax.checkpoint, so
                 the backward re-derives the (B, H, N, N) probabilities
-                instead of storing them. Measured fastest on v5e at VLMo
-                shapes (XLA's fused fwd beats the hand kernel: 1.7-2.2 ms vs
-                2.5-4.0 ms per call) with flash-attention memory behavior;
-                supports attention dropout.
-  'xla'       — plain chain (stores probs for backward; batch-64 VLMo-Base
-                OOMs HBM this way — see BENCH.md)
+                instead of storing them. 207 ms/step, trains batch 64
+                on-chip, supports attention dropout — the robust default.
+  'xla'       — plain chain (stores probs for backward). Slightly faster at
+                batch 32 (204 ms, no bwd recompute) but OOMs at batch 64
+                even with bf16-stored scores.
   'pallas'    — hand-written TPU kernels (ops/flash_attention.py): full-row
                 fused forward + true flash BACKWARD (dq/dk/dv from five MXU
                 matmuls per head, probabilities reconstituted from the saved
-                logsumexp) ≤1024 tokens, so no (B, H, N, N) tensor reaches
-                HBM in either direction; k-blocked online-softmax beyond;
-                no dropout support (falls back to 'recompute' when dropout
-                is active in training)
+                logsumexp) ≤512 tokens; full-row forward with recompute
+                backward to 4096; k-blocked online-softmax beyond. 268
+                ms/step e2e — the per-program overhead of many small-grid
+                kernels loses to XLA's batched fusions at VLMo shapes. No
+                dropout support (falls back to 'recompute' when dropout is
+                active in training).
 """
 
 from __future__ import annotations
