@@ -62,3 +62,19 @@ def test_yaml_typed_overrides():
     assert cfg.vlmo_ema is True
     assert cfg.train.clip_grad == 3.5
     assert cfg.train.loss_names == ["mlm", "itc"]
+
+
+def test_model_config_numeric_fields_are_numbers():
+    """PyYAML (YAML 1.1) parses '1e-5' (no dot) as a STRING — the
+    vlmo_large/huge init_values used exactly that form and crashed Block
+    setup. Guard every model config's numeric fields."""
+    from exploremultimodal_tpu.config import load_config
+
+    for model in ("vlmo_debug", "vlmo_tiny", "vlmo_small", "vlmo_base",
+                  "vlmo_large", "vlmo_huge"):
+        cfg = load_config([f"model={model}"])
+        for field in ("init_values", "drop_rate", "attn_drop_rate",
+                      "drop_path_rate", "mlp_ratio", "itc_temp"):
+            v = cfg.model.get(field)
+            if v is not None:
+                assert isinstance(v, (int, float)), (model, field, repr(v))
