@@ -235,11 +235,16 @@ def compute_itc(
 
 
 def patch_pooling(x: jax.Array) -> jax.Array:
-    """√N×√N patch grid → ⁴√N×⁴√N average pool (objectives.py:468-476)."""
+    """√N×√N patch grid → (√N//⁴√N)² average pool (objectives.py:468-476:
+    F.avg_pool2d(kernel=c1, stride=c1) — floor semantics, so a 14×14 grid
+    pools 3×3 windows into 4×4 locals, truncating the last two rows/cols
+    exactly as torch does)."""
     bs, length, dim = x.shape
     b1 = int(length**0.5)
     c1 = int(b1**0.5)
-    x = x.reshape(bs, b1 // c1, c1, b1 // c1, c1, dim)
+    out = b1 // c1
+    x = x.reshape(bs, b1, b1, dim)[:, : out * c1, : out * c1]
+    x = x.reshape(bs, out, c1, out, c1, dim)
     return x.mean(axis=(2, 4)).reshape(bs, -1, dim)
 
 

@@ -175,3 +175,24 @@ def test_nonfinite_guard_dumps_and_raises(tmp_path):
     assert (tmp_path / "nan_dump_step3.npz").exists()
     # finite → no-op
     check_finite_and_dump({"total_loss": jnp.asarray(1.0)}, 4, str(tmp_path))
+
+
+def test_patch_pooling_matches_torch_avg_pool2d_on_14x14():
+    """196 patches (14×14, the real VLMo grid) pool with kernel=stride=3 and
+    FLOOR truncation — torch F.avg_pool2d semantics (objectives.py:468-476).
+    The old reshape-only version crashed on non-divisible grids."""
+    import torch
+    import torch.nn.functional as F
+
+    from exploremultimodal_tpu.objectives.losses import patch_pooling
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 196, 8)).astype(np.float32)
+    got = np.asarray(patch_pooling(jnp.asarray(x)))
+
+    t = torch.from_numpy(x).reshape(2, 14, 14, 8).permute(0, 3, 1, 2)
+    want = (
+        F.avg_pool2d(t, 3, stride=3).permute(0, 2, 3, 1).reshape(2, -1, 8)
+    ).numpy()
+    assert got.shape == (2, 16, 8)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
