@@ -48,6 +48,53 @@ def _setup_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+# canonical per-config batch sizes (single source of truth — BENCH.md cites
+# BENCHMARKS.json produced with these; override all with BENCH_BATCH)
+DEFAULT_BATCH = {
+    "vlmo_pretrain": 32,
+    "dvae": 32,
+    "bert_mlm": 256,  # fwd-only bench: large batch is the realistic serving shape
+    "beit_mim": 32,
+    "vqa": 32,
+}
+
+# v5e chip physics for the roofline columns (BENCH.md "Roofline" section):
+# 197 TFLOP/s bf16 peak (115 TFLOP/s measured sustained matmul), ~819 GB/s HBM
+V5E_PEAK_TFLOPS = 197.0
+V5E_SUSTAINED_TFLOPS = 115.0
+V5E_HBM_GBPS = 819.0
+
+
+def _cost_analysis(compiled) -> dict:
+    """flops / bytes accessed from XLA's cost model, plus roofline %s."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+    except Exception:
+        return {}
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+    return {"flops": flops, "bytes_accessed": byts}
+
+
+def _roofline(detail: dict) -> None:
+    """Annotate a result's detail with achieved TFLOP/s + roofline fractions.
+    `bytes accessed` is XLA's pre-fusion operand count, an UPPER bound on HBM
+    traffic — the bandwidth %% is therefore a ceiling on how bandwidth-bound
+    the config can be, not a measurement."""
+    dt = detail.get("step_ms", 0.0) / 1e3
+    if not dt or "flops" not in detail:
+        return
+    tflops = detail["flops"] / dt / 1e12
+    gbps = detail["bytes_accessed"] / dt / 1e9
+    detail["achieved_tflops"] = round(tflops, 1)
+    detail["pct_sustained_matmul"] = round(100 * tflops / V5E_SUSTAINED_TFLOPS, 1)
+    detail["pct_peak"] = round(100 * tflops / V5E_PEAK_TFLOPS, 1)
+    detail["xla_bytes_gbps_upper"] = round(gbps, 1)
+    detail["pct_hbm_upper"] = round(100 * gbps / V5E_HBM_GBPS, 1)
+
+
 def _sync(out) -> None:
     """Force completion via a host readback — on tunneled backends (axon)
     block_until_ready returns before remote execution finishes, so a scalar
@@ -108,18 +155,23 @@ def _train_step_bench(
     dt = _timeit(step, n_warmup, n_iters)
     n_chips = jax.device_count()
     ips = batch_size / dt / n_chips
+    detail = {
+        "batch_size": batch_size,
+        "step_ms": round(dt * 1000, 1),
+        "chips": n_chips,
+        "platform": jax.devices()[0].platform,
+        "total_loss": round(float(holder["metrics"]["total_loss"]), 3),
+    }
+    detail.update(_cost_analysis(
+        train_step.lower(holder["state"], batch, epoch).compile()
+    ))
+    _roofline(detail)
     return {
         "metric": metric,
         "value": round(ips, 2),
         "unit": "images/s/chip",
         "vs_baseline": round(ips / A100_BASELINE[baseline_key], 3),
-        "detail": {
-            "batch_size": batch_size,
-            "step_ms": round(dt * 1000, 1),
-            "chips": n_chips,
-            "platform": jax.devices()[0].platform,
-            "total_loss": round(float(holder["metrics"]["total_loss"]), 3),
-        },
+        "detail": detail,
     }
 
 
@@ -220,13 +272,16 @@ def bench_dvae(batch_size: int, n_warmup: int, n_iters: int) -> dict:
     ips = batch_size / dt / n_chips
     ids = tokenize(img)
     assert ids.shape == (batch_size, 32 * 32)
+    detail = {"batch_size": batch_size, "step_ms": round(dt * 1000, 2),
+              "tokens": "32x32"}
+    detail.update(_cost_analysis(tokenize.lower(img).compile()))
+    _roofline(detail)
     return {
         "metric": "dvae_tokenize_256_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/s/chip",
         "vs_baseline": round(ips / A100_BASELINE["dvae"], 3),
-        "detail": {"batch_size": batch_size, "step_ms": round(dt * 1000, 2),
-                   "tokens": "32x32"},
+        "detail": detail,
     }
 
 
@@ -277,30 +332,36 @@ def bench_bert_mlm(batch_size: int, n_warmup: int, n_iters: int) -> dict:
     dt = _timeit(lambda: fwd(variables["params"]), n_warmup, n_iters)
     n_chips = jax.device_count()
     sps = batch_size / dt / n_chips
+    detail = {"batch_size": batch_size, "step_ms": round(dt * 1000, 2)}
+    detail.update(_cost_analysis(fwd.lower(variables["params"]).compile()))
+    _roofline(detail)
     return {
         "metric": "bert_base_mlm_fwd_seq196_samples_per_sec_per_chip",
         "value": round(sps, 2),
         "unit": "samples/s/chip",
         "vs_baseline": round(sps / A100_BASELINE["bert_mlm"], 3),
-        "detail": {"batch_size": batch_size, "step_ms": round(dt * 1000, 2)},
+        "detail": detail,
     }
 
 
 def main() -> None:
     _setup_cache()
     mode = os.environ.get("BENCH_MODE", "vlmo_pretrain")
-    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    batch_env = os.environ.get("BENCH_BATCH")
     n_warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
     model = os.environ.get("BENCH_MODEL", "vlmo_base")
 
+    def bs(key: str) -> int:
+        return int(batch_env) if batch_env else DEFAULT_BATCH[key]
+
     runners = {
-        "vlmo_pretrain": lambda: bench_vlmo_pretrain(batch_size, n_warmup,
-                                                     n_iters, model),
-        "dvae": lambda: bench_dvae(batch_size, n_warmup, n_iters),
-        "bert_mlm": lambda: bench_bert_mlm(batch_size, n_warmup, n_iters),
-        "beit_mim": lambda: bench_beit_mim(batch_size, n_warmup, n_iters),
-        "vqa": lambda: bench_vqa(batch_size, n_warmup, n_iters),
+        "vlmo_pretrain": lambda: bench_vlmo_pretrain(
+            bs("vlmo_pretrain"), n_warmup, n_iters, model),
+        "dvae": lambda: bench_dvae(bs("dvae"), n_warmup, n_iters),
+        "bert_mlm": lambda: bench_bert_mlm(bs("bert_mlm"), n_warmup, n_iters),
+        "beit_mim": lambda: bench_beit_mim(bs("beit_mim"), n_warmup, n_iters),
+        "vqa": lambda: bench_vqa(bs("vqa"), n_warmup, n_iters),
     }
 
     if mode == "all":

@@ -270,6 +270,32 @@ class Trainer:
 
         flat_loss = bool(cfg.train.get("flat_loss", False))
 
+        # train.global_reduce=true routes the loss through shard_map over the
+        # data axis so the gradient-preserving ITC gather
+        # (parallel/collectives.py, reference GatherLayer objectives.py:392-426)
+        # actually executes. Under plain jit+GSPMD the in-batch branch already
+        # has global-batch semantics (the batch is global), so this flag only
+        # changes WHERE the gather happens, not the math — parity is tested on
+        # an 8-device mesh (tests/test_parallel.py). On a 1-device data axis
+        # the gather is an identity, same as the reference at world_size 1.
+        use_gather = (
+            bool(cfg.train.get("global_reduce", False))
+            and self.mesh.shape["data"] > 1
+        )
+        if use_gather:
+            if self.preset in ("fsdp", "tp"):
+                raise ValueError(
+                    "train.global_reduce=true needs params replicated over "
+                    "the data axis (dp/zero1 presets); with "
+                    f"parallel={self.preset} leave it false — jit+GSPMD "
+                    "already gives global-batch ITC semantics"
+                )
+            if isda_lambda:
+                raise ValueError(
+                    "global_reduce + ISDA are unsupported together (the "
+                    "reference uses them in disjoint phases)"
+                )
+
         def loss_fn(params, model_batch, rngs, isda_state, epoch,
                     momentum_feats, queue):
             isda_ratio = (
@@ -286,6 +312,62 @@ class Trainer:
                 rngs=rngs,
             )
             return total_loss(outputs, flat=flat_loss), outputs
+
+        def value_and_grad_fn(params, model_batch, rngs, isda_state, epoch,
+                              momentum_feats, queue):
+            """((loss, outputs), grads) — plain value_and_grad, or the
+            shard_map global_reduce path where each data shard computes its
+            local loss against gathered features and grads are pmean'd
+            (reference: local loss + GatherLayer backward + DDP allreduce)."""
+            if not use_gather:
+                return jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, model_batch, rngs, isda_state, epoch,
+                    momentum_feats, queue,
+                )
+
+            from jax import shard_map
+
+            def inner(params, model_batch, rngs, epoch, momentum_feats, queue):
+                local_rngs = {
+                    k: jax.random.fold_in(r, jax.lax.axis_index("data"))
+                    for k, r in rngs.items()
+                }
+
+                def local_loss(p):
+                    outputs = self.task.apply(
+                        {"params": p},
+                        model_batch,
+                        deterministic=False,
+                        axis_name="data",
+                        momentum_feats=momentum_feats,
+                        queue=queue,
+                        rngs=local_rngs,
+                    )
+                    return total_loss(outputs, flat=flat_loss), outputs
+
+                (loss, outputs), grads = jax.value_and_grad(
+                    local_loss, has_aux=True
+                )(params)
+                met = {
+                    k: jax.lax.pmean(jnp.asarray(v, jnp.float32), "data")
+                    for k, v in _metrics_from_outputs(outputs).items()
+                }
+                return (
+                    (jax.lax.pmean(loss, "data"), met),
+                    jax.lax.pmean(grads, "data"),
+                )
+
+            P_ = P
+            mf_spec = P_("data") if momentum_feats is not None else P_()
+            inner_s = shard_map(
+                inner,
+                mesh=self.mesh,
+                in_specs=(P_(), P_("data"), P_(), P_(), mf_spec, P_()),
+                out_specs=P_(),
+                check_rep=False,
+            )
+            return inner_s(params, model_batch, rngs, epoch,
+                           momentum_feats, queue)
 
         def train_step(state: TrainState, batch: dict, epoch: jax.Array):
             rngs = state.step_rngs("dropout", "droppath", "sample")
@@ -321,7 +403,7 @@ class Trainer:
                     micro_rngs = {
                         k: jax.random.fold_in(r, i) for k, r in rngs.items()
                     }
-                    (loss, out), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    (loss, out), g = value_and_grad_fn(
                         state.params, mb, micro_rngs, isda_carry, epoch,
                         mfeats, queue,
                     )
@@ -364,10 +446,10 @@ class Trainer:
                 if isda_final is not None:
                     outputs["isda_state"] = isda_final
             else:
-                (loss, outputs), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(state.params, model_batch, rngs, state.isda, epoch,
-                  momentum_feats, queue)
+                (loss, outputs), grads = value_and_grad_fn(
+                    state.params, model_batch, rngs, state.isda, epoch,
+                    momentum_feats, queue,
+                )
 
             opt_state = state.opt_state
             if self._offload:
