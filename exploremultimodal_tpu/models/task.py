@@ -324,6 +324,9 @@ class VlmoTask(nn.Module):
             "t_feat_m": t_feat_m,
             "i_feat_l_m": obj.patch_pooling(i_feat_l),
             "t_feat_l_m": t_feat_l,
+            # text mask matching t_feat_l_m's rows — carried with the feats so
+            # the g2l loss stays full-batch under gradient accumulation
+            "t_mask_m": batch["text_mask"][:, 1:],
         }
 
     # ------------------------------------------------------------ forward
@@ -337,8 +340,11 @@ class VlmoTask(nn.Module):
         queue: dict | None = None,
         isda_state=None,
         isda_ratio: float = 0.0,
+        pos_offset: jax.Array | int = 0,
     ) -> dict:
-        """Union of active objectives (vlmo_module.py:395-436)."""
+        """Union of active objectives (vlmo_module.py:395-436). `pos_offset`
+        is this microbatch's row offset into full-batch momentum features
+        under gradient accumulation (see compute_itc)."""
         names = self.config.loss_names
         ret: dict = {}
         if not names:
@@ -356,6 +362,7 @@ class VlmoTask(nn.Module):
                     axis_name=axis_name,
                     momentum_feats=momentum_feats,
                     queue=queue,
+                    pos_offset=pos_offset,
                 )
             )
         shared = ret if "itc" in names else None
@@ -365,7 +372,8 @@ class VlmoTask(nn.Module):
             ret.update(obj.compute_mim(self, batch, deterministic))
         if "itm" in names:
             ret.update(obj.compute_itm(self, batch, shared,
-                                       deterministic=deterministic))
+                                       deterministic=deterministic,
+                                       pos_offset=pos_offset))
         if "vqa" in names:
             ret.update(
                 obj.compute_vqa(

@@ -117,6 +117,7 @@ def compute_itc(
     axis_name: str | None = None,
     momentum_feats: dict | None = None,
     queue: dict | None = None,
+    pos_offset: jax.Array | int = 0,
 ) -> dict:
     """Image-text contrastive loss (objectives.py:81-236).
 
@@ -125,10 +126,17 @@ def compute_itc(
                       over the data axis, local rows rolled first so positives
                       sit on the diagonal (GatherLayer + torch.roll)
       momentum      — `momentum_feats` carries {'i_feat_m','t_feat_m', and
-                      optionally 'i_feat_l_m','t_feat_l_m'} from the EMA
-                      encoder; `queue` carries {'img','txt'} (itc_dim, Q)
-                      negative queues (ALBEF-style)
+                      optionally 'i_feat_l_m','t_feat_l_m','t_mask_m'} from
+                      the EMA encoder; `queue` carries {'img','txt'} (itc_dim,
+                      Q) negative queues (ALBEF-style)
       naive         — in-batch similarities
+
+    Under gradient accumulation the momentum features cover the FULL batch
+    while `batch` is one microbatch; `pos_offset` is the microbatch's row
+    offset, so positives sit on the offset diagonal and every microbatch
+    contrasts against all full-batch negatives — the effective negative count
+    is accum-invariant (round-2 verdict: slicing per microbatch shrank the
+    pool to bs/accum; equivalence tested in tests/test_momentum_itc.py).
     """
     temp = jnp.exp(jnp.clip(task.itc_temp_value(), 0.0, ITC_TEMP_MAX))
 
@@ -156,7 +164,11 @@ def compute_itc(
     t_feat = t_feat.astype(jnp.float32)
 
     bs = i_feat.shape[0]
+    # positives sit on the plain diagonal except against FULL-BATCH momentum
+    # features under accumulation, where this microbatch's rows start at
+    # pos_offset (the momentum branch below shifts targets)
     targets = jnp.arange(bs)
+    n_pos_cols = bs  # columns holding candidate positives (for the accuracy)
     sim_i2i = sim_t2t = None
     local_g2l = None
 
@@ -168,6 +180,8 @@ def compute_itc(
     elif momentum_feats is not None:
         i_feat_m = momentum_feats["i_feat_m"].astype(jnp.float32)
         t_feat_m = momentum_feats["t_feat_m"].astype(jnp.float32)
+        targets = jnp.arange(bs) + pos_offset
+        n_pos_cols = i_feat_m.shape[0]  # full batch, ≥ bs under accumulation
         if queue is not None:
             i_all = jnp.concatenate([i_feat_m.T, queue["img"]], axis=1)
             t_all = jnp.concatenate([t_feat_m.T, queue["txt"]], axis=1)
@@ -181,11 +195,17 @@ def compute_itc(
             sim_i2i = i_feat @ i_feat_m.T * temp
             sim_t2t = t_feat @ t_feat_m.T * temp
         if "i_feat_l_m" in momentum_feats:
+            t_mask_m = momentum_feats.get("t_mask_m")
+            if t_mask_m is None:
+                t_mask_m = batch["text_mask"][:, 1:]
             local_g2l = (
-                in_batch_g2l_loss(momentum_feats["i_feat_l_m"], i_feat, temp),
+                in_batch_g2l_loss(
+                    momentum_feats["i_feat_l_m"], i_feat, temp,
+                    pos_offset=pos_offset,
+                ),
                 in_batch_g2l_loss(
                     momentum_feats["t_feat_l_m"], t_feat, temp,
-                    batch["text_mask"][:, 1:],
+                    t_mask_m, pos_offset=pos_offset,
                 ),
             )
     else:
@@ -201,8 +221,8 @@ def compute_itc(
     t2i_loss = ce(sim_t2i)
     losses = [i2t_loss, t2i_loss]
 
-    i2t_acc = (jnp.argmax(sim_i2t[:, :bs], -1) == targets).mean()
-    t2i_acc = (jnp.argmax(sim_t2i[:, :bs], -1) == targets).mean()
+    i2t_acc = (jnp.argmax(sim_i2t[:, :n_pos_cols], -1) == targets).mean()
+    t2i_acc = (jnp.argmax(sim_t2i[:, :n_pos_cols], -1) == targets).mean()
 
     ret = {
         "i2t_Loss": i2t_loss,
@@ -248,31 +268,45 @@ def patch_pooling(x: jax.Array) -> jax.Array:
     return x.mean(axis=(2, 4)).reshape(bs, -1, dim)
 
 
-def in_batch_g2l_loss(l, m, temp, attention_mask=None) -> jax.Array:
+def in_batch_g2l_loss(l, m, temp, attention_mask=None, pos_offset=0) -> jax.Array:
     """Global-to-local contrast (objectives.py:479-526): each global feature m
-    against its own local features (positives) vs all other samples' locals."""
+    against its own local features (positives) vs all other samples' locals.
+
+    Asymmetric under gradient accumulation: `l` (momentum locals) and
+    `attention_mask` cover the FULL batch of N samples while `m` holds the
+    microbatch's M ≤ N globals starting at row `pos_offset` — each global
+    contrasts against all N·L locals, so the negative pool is accum-invariant.
+    With M == N and pos_offset == 0 this is exactly the reference math."""
     l = l.astype(jnp.float32)
     m = m.astype(jnp.float32)
     N, n_locals, dim = l.shape
-    u_p = jnp.einsum("nld,nd->nl", l, m)[:, :, None, None] / temp  # (N,L,1,1)
+    M = m.shape[0]
+    l_pos = jax.lax.dynamic_slice_in_dim(l, pos_offset, M, axis=0)  # (M, L, d)
+    u_p = jnp.einsum("mld,md->ml", l_pos, m)[:, :, None, None] / temp  # (M,L,1,1)
     if attention_mask is not None:
-        am = attention_mask[:, :, None, None].astype(jnp.float32)
+        am_pos = jax.lax.dynamic_slice_in_dim(
+            attention_mask, pos_offset, M, axis=0
+        )
+        am = am_pos[:, :, None, None].astype(jnp.float32)
         u_p = am * u_p + 10000.0 * (1 - am)
 
-    u_n = jnp.einsum("md,nld->mnl", m, l) / temp  # (N, N, L)
-    u_n = u_n[:, :, :, None]  # (N, N, L, 1)
-    n_mask = 1.0 - jnp.eye(N)[:, :, None, None]
+    u_n = jnp.einsum("md,nld->mnl", m, l) / temp  # (M, N, L)
+    u_n = u_n[:, :, :, None]  # (M, N, L, 1)
+    own_row = pos_offset + jnp.arange(M)  # each global's own sample row in l
+    n_mask = 1.0 - (own_row[:, None] == jnp.arange(N)[None, :]).astype(
+        jnp.float32
+    )[:, :, None, None]
     u_n = n_mask * u_n - 10000.0 * (1.0 - n_mask)
     if attention_mask is not None:
         am = attention_mask[None, :, :, None].astype(jnp.float32)
         u_n = am * u_n - 10000.0 * (1 - am)
-    u_n = u_n.reshape(N, 1, N * n_locals, 1)
-    u_n = jnp.broadcast_to(u_n, (N, n_locals, N * n_locals, 1))
+    u_n = u_n.reshape(M, 1, N * n_locals, 1)
+    u_n = jnp.broadcast_to(u_n, (M, n_locals, N * n_locals, 1))
 
-    pred = jnp.concatenate([u_p, u_n], axis=2)  # (N, L, 1+NL, 1)
+    pred = jnp.concatenate([u_p, u_n], axis=2)  # (M, L, 1+NL, 1)
     logp = jax.nn.log_softmax(pred, axis=2)[:, :, 0, 0]  # positive log-prob
     if attention_mask is not None:
-        am = attention_mask.astype(jnp.float32)
+        am = am_pos.astype(jnp.float32)
         return (-(logp * am).sum(1) / am.sum(1)).mean()
     return -logp.mean()
 
@@ -286,10 +320,16 @@ def compute_itm(
     sim_dict: dict | None = None,
     rng: jax.Array | None = None,
     deterministic: bool = True,
+    pos_offset: jax.Array | int = 0,
 ) -> dict:
     """Image-text matching with ITC-guided hard negatives
     (objectives.py:239-314). One fused forward over [pos, img-neg, txt-neg]
-    pairs (3·bs rows — same math as the reference's two forwards, one launch)."""
+    pairs (3·bs rows — same math as the reference's two forwards, one launch).
+
+    Under accumulation with momentum ITC the shared sims have full-batch
+    columns; this microbatch's own candidates sit at columns
+    [pos_offset, pos_offset+bs), so the hard-negative weights slice there —
+    the self-column masked by `eye` is then genuinely the positive."""
     img = batch["image"]
     txt_ids = batch["text_ids"]
     txt_mask = batch["text_mask"]
@@ -299,11 +339,16 @@ def compute_itm(
     r_img, r_txt, r1, r2 = jax.random.split(rng, 4)
 
     if sim_dict is not None:
+        def own_cols(sim):
+            if sim.shape[1] == bs:  # naive/global branch: already square
+                return sim
+            return jax.lax.dynamic_slice_in_dim(sim, pos_offset, bs, axis=1)
+
         logw_i2t = jax.nn.log_softmax(
-            jax.lax.stop_gradient(sim_dict["sim_i2t"][:, :bs]), axis=1
+            jax.lax.stop_gradient(own_cols(sim_dict["sim_i2t"])), axis=1
         )
         logw_t2i = jax.nn.log_softmax(
-            jax.lax.stop_gradient(sim_dict["sim_t2i"][:, :bs]), axis=1
+            jax.lax.stop_gradient(own_cols(sim_dict["sim_t2i"])), axis=1
         )
     else:
         logw_i2t = jax.random.normal(r1, (bs, bs))

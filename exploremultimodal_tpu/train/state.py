@@ -6,6 +6,9 @@ through the jitted step:
 
   params / opt_state     model + ADAM moments
   ema_params             momentum encoder copy (vlmo_ema, vlmo_module.py:120-131)
+  model_ema_params       separate checkpointed eval EMA (model_ema,
+                         utils/utils.py:486-508 + conf/config.yaml:136-141) —
+                         the reference holds BOTH trees when both flags are on
   img_queue / txt_queue  MoCo negative queues + ptr (vlmo_module.py:133-146)
   isda                   ISDA running class statistics (heads.py:6-51)
   rng                    step-folded PRNG key for dropout/droppath/sampling
@@ -28,6 +31,8 @@ class TrainState:
     rng: jax.Array
     ema_params: Any = None
     ema_decay: float = flax.struct.field(pytree_node=False, default=0.0)
+    model_ema_params: Any = None
+    model_ema_decay: float = flax.struct.field(pytree_node=False, default=0.0)
     img_queue: jax.Array | None = None
     txt_queue: jax.Array | None = None
     queue_ptr: jax.Array | None = None
@@ -46,6 +51,8 @@ def create_train_state(
     *,
     use_ema: bool = False,
     ema_decay: float = 0.995,
+    use_model_ema: bool = False,
+    model_ema_decay: float = 0.9999,
     queue_size: int = 0,
     itc_dim: int = 256,
     isda_classes: int = 0,
@@ -54,6 +61,9 @@ def create_train_state(
     from exploremultimodal_tpu.models.heads import ISDAState
 
     ema = jax.tree_util.tree_map(jnp.copy, params) if use_ema else None
+    model_ema = (
+        jax.tree_util.tree_map(jnp.copy, params) if use_model_ema else None
+    )
     img_q = txt_q = ptr = None
     if queue_size:
         k1, k2, rng = jax.random.split(rng, 3)
@@ -72,6 +82,8 @@ def create_train_state(
         rng=rng,
         ema_params=ema,
         ema_decay=ema_decay,
+        model_ema_params=model_ema,
+        model_ema_decay=model_ema_decay,
         img_queue=img_q,
         txt_queue=txt_q,
         queue_ptr=ptr,

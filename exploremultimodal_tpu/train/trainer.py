@@ -150,23 +150,19 @@ class Trainer:
         self.steps_per_epoch = steps_per_epoch
         self.optimizer, self.schedule = create_optimizer(cfg, params, steps_per_epoch)
 
-        if cfg.get("vlmo_ema") and cfg.get("model_ema"):
-            raise ValueError(
-                "vlmo_ema (ITC momentum encoder, decay 0.995) and model_ema "
-                "(eval EMA, decay 0.9999) share one EMA tree here and are "
-                "mutually exclusive — enable only one"
-            )
+        # two independent EMA trees, like the reference: vlmo_ema is the ITC
+        # momentum encoder (vlmo_module.py:120-131, decay 0.995); model_ema is
+        # the checkpointed eval EMA (utils/utils.py:486-508, decay 0.9999).
+        # Both may be enabled together (conf/config.yaml:136-141).
         t = cfg.train
         state = create_train_state(
             params,
             self.optimizer,
             jax.random.key(cfg.seed + 7),
-            use_ema=cfg.get("vlmo_ema", False) or cfg.get("model_ema", False),
-            ema_decay=(
-                cfg.get("model_ema_decay", 0.9999)
-                if cfg.get("model_ema", False)
-                else cfg.get("vlmo_ema_decay", 0.995)
-            ),
+            use_ema=cfg.get("vlmo_ema", False),
+            ema_decay=cfg.get("vlmo_ema_decay", 0.995),
+            use_model_ema=cfg.get("model_ema", False),
+            model_ema_decay=cfg.get("model_ema_decay", 0.9999),
             queue_size=t.get("queue_size", 0) if t.get("neg_queue") else 0,
             itc_dim=cfg.model.itc_dim,
             isda_classes=(
@@ -206,6 +202,12 @@ class Trainer:
                 else None
             ),
             ema_decay=state.ema_decay,
+            model_ema_params=(
+                to_shardings(p_specs, self.mesh)
+                if state.model_ema_params is not None
+                else None
+            ),
+            model_ema_decay=state.model_ema_decay,
             img_queue=NamedSharding(self.mesh, P())
             if state.img_queue is not None else None,
             txt_queue=NamedSharding(self.mesh, P())
@@ -242,7 +244,7 @@ class Trainer:
         cfg = self.cfg
         accum = int(cfg.train.get("accumulation_steps", 1))
         use_momentum = cfg.get("vlmo_ema", False)
-        use_ema = use_momentum or cfg.get("model_ema", False)
+        use_model_ema = cfg.get("model_ema", False)
         use_queue = bool(cfg.train.get("neg_queue"))
         isda_lambda = float(cfg.train.get("isda_lambda", 0.0))
         total_epochs = int(cfg.train.epochs)
@@ -297,7 +299,7 @@ class Trainer:
                 )
 
         def loss_fn(params, model_batch, rngs, isda_state, epoch,
-                    momentum_feats, queue):
+                    momentum_feats, queue, pos_offset=0):
             isda_ratio = (
                 isda_lambda * epoch / max(total_epochs, 1) if isda_lambda else 0.0
             )
@@ -309,12 +311,13 @@ class Trainer:
                 queue=queue,
                 isda_state=isda_state,
                 isda_ratio=isda_ratio,
+                pos_offset=pos_offset,
                 rngs=rngs,
             )
             return total_loss(outputs, flat=flat_loss), outputs
 
         def value_and_grad_fn(params, model_batch, rngs, isda_state, epoch,
-                              momentum_feats, queue):
+                              momentum_feats, queue, pos_offset=0):
             """((loss, outputs), grads) — plain value_and_grad, or the
             shard_map global_reduce path where each data shard computes its
             local loss against gathered features and grads are pmean'd
@@ -322,7 +325,7 @@ class Trainer:
             if not use_gather:
                 return jax.value_and_grad(loss_fn, has_aux=True)(
                     params, model_batch, rngs, isda_state, epoch,
-                    momentum_feats, queue,
+                    momentum_feats, queue, pos_offset,
                 )
 
             from jax import shard_map
@@ -376,12 +379,14 @@ class Trainer:
 
             if accum > 1:
                 # Microbatch loop with full carry: grads + scalar metrics +
-                # ISDA state. Momentum features slice per microbatch (rows
-                # align with the batch slice, so the ITC positive diagonal is
-                # preserved); the queue is held fixed across the step's
-                # microbatches and enqueued once afterwards — equivalent to
-                # the reference's per-forward enqueue up to within-step
-                # ordering (multimodal.py:262,309-329 + objectives.py:438-465).
+                # ISDA state. Momentum features stay FULL-BATCH: each
+                # microbatch contrasts against every full-batch momentum
+                # feature, with its positives on the pos_offset diagonal —
+                # the effective negative count is accum-invariant (reference
+                # contrasts bs rows per forward, objectives.py:110-164; the
+                # queue is held fixed across the step's microbatches and
+                # enqueued once afterwards, equivalent to the per-forward
+                # enqueue up to within-step ordering, objectives.py:438-465).
                 def metrics_of(out):
                     return {
                         k: jnp.asarray(v, jnp.float32)
@@ -396,16 +401,16 @@ class Trainer:
                 def micro(i, carry):
                     grads_acc, loss_acc, met_acc, isda_carry = carry
                     mb = mb_slice(model_batch, i)
-                    mfeats = (
-                        mb_slice(momentum_feats, i)
-                        if momentum_feats is not None else None
+                    mb_size = next(
+                        v.shape[0] // accum
+                        for v in jax.tree_util.tree_leaves(model_batch)
                     )
                     micro_rngs = {
                         k: jax.random.fold_in(r, i) for k, r in rngs.items()
                     }
                     (loss, out), g = value_and_grad_fn(
                         state.params, mb, micro_rngs, isda_carry, epoch,
-                        mfeats, queue,
+                        momentum_feats, queue, i * mb_size,
                     )
                     met = metrics_of(out)
                     return (
@@ -466,8 +471,13 @@ class Trainer:
             new_params = optax.apply_updates(state.params, updates)
 
             new_ema = state.ema_params
-            if use_ema and state.ema_params is not None:
+            if use_momentum and state.ema_params is not None:
                 new_ema = ema_update(state.ema_params, new_params, state.ema_decay)
+            new_model_ema = state.model_ema_params
+            if use_model_ema and state.model_ema_params is not None:
+                new_model_ema = ema_update(
+                    state.model_ema_params, new_params, state.model_ema_decay
+                )
 
             img_q, txt_q, ptr = state.img_queue, state.txt_queue, state.queue_ptr
             if use_queue and momentum_feats is not None:
@@ -489,6 +499,7 @@ class Trainer:
                 params=new_params,
                 opt_state=new_opt_state,
                 ema_params=new_ema,
+                model_ema_params=new_model_ema,
                 img_queue=img_q,
                 txt_queue=txt_q,
                 queue_ptr=ptr,
@@ -637,11 +648,14 @@ class Trainer:
     # ------------------------------------------------------------------ eval
 
     def evaluate(self, state, loader) -> dict:
-        """Count-weighted eval; with model_ema=true the EMA weights are
-        evaluated (reference model_ema flag, conf/config.yaml:127-129)."""
+        """Count-weighted eval; with model_ema=true the dedicated eval EMA
+        tree is evaluated (reference model_ema flag, conf/config.yaml:136-141
+        + utils/utils.py:602-623) — independent of the vlmo_ema momentum
+        encoder, so both may be enabled together."""
         eval_params = (
-            state.ema_params
-            if self.cfg.get("model_ema", False) and state.ema_params is not None
+            state.model_ema_params
+            if self.cfg.get("model_ema", False)
+            and state.model_ema_params is not None
             else state.params
         )
         eval_step = self.make_eval_step()

@@ -147,6 +147,83 @@ def test_grad_accum_with_momentum_and_queue(tmp_path):
     assert np.isfinite(float(metrics["itc_task_loss"]))
 
 
+def test_accum_momentum_negative_pool_equivalence(tmp_path):
+    """VERDICT r2 #8: under accumulation each microbatch must contrast
+    against the FULL batch's momentum features (negative pool accum-invariant,
+    reference objectives.py:110-164 contrasts bs rows per forward). With a
+    deterministic forward, microbatch ITC losses at their pos_offsets must
+    average exactly to the full-batch loss — true only if every microbatch
+    sees all N negatives with positives on the offset diagonal."""
+    from exploremultimodal_tpu.models.task import VlmoTask
+    from exploremultimodal_tpu.objectives.losses import compute_itc
+    from exploremultimodal_tpu.train.trainer import Trainer
+
+    cfg = load_config(TINY + [f"exp_dir={tmp_path}", "data.num_workers=0"])
+    trainer = Trainer(cfg)
+    loader = trainer.data.train_loader()
+    batch = next(iter(trainer.feeder(iter(loader))))
+    state = trainer.init_state(batch)
+    model_batch = trainer._model_batch(batch)
+    mfeats = trainer.task.apply(
+        {"params": state.ema_params}, model_batch,
+        method=VlmoTask.itc_momentum_feats,
+    )
+    queue = {"img": state.img_queue, "txt": state.txt_queue}
+
+    def itc(mb, off):
+        return trainer.task.apply(
+            {"params": state.params}, mb, True,
+            method=lambda task, b, det: compute_itc(
+                task, b, det, momentum_feats=mfeats, queue=queue,
+                pos_offset=off,
+            ),
+        )
+
+    full = itc(model_batch, 0)
+    accum = 2
+    micro = [
+        itc(
+            jax.tree_util.tree_map(
+                lambda v: v.reshape((accum, -1) + v.shape[1:])[i], model_batch
+            ),
+            i * 4,
+        )
+        for i in range(accum)
+    ]
+    # the sim matrices keep full-batch(+queue) columns — the negative pool
+    # did not shrink to bs/accum
+    assert micro[0]["sim_i2t"].shape == (4, 8 + 64)
+    for key in ("i2t_Loss", "t2i_Loss", "i2i_Loss", "t2t_Loss",
+                "i2i_l_Loss", "t2t_l_Loss", "itc_task_loss",
+                "itc_i2t_mean_acc", "itc_t2i_mean_acc"):
+        want = float(full[key])
+        got = float(np.mean([float(m[key]) for m in micro]))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6, err_msg=key)
+
+
+def test_accum_without_momentum_stays_naive_diagonal(tmp_path):
+    """Regression: accumulation WITHOUT vlmo_ema takes the naive in-batch
+    branch whose sims are (bs, bs) — pos_offset must NOT shift the targets
+    there (shifted targets indexed out of bounds → NaN-filled metrics)."""
+    from exploremultimodal_tpu.train.trainer import Trainer
+
+    cfg = load_config([
+        t for t in TINY
+        if t not in ("vlmo_ema=true", "train.neg_queue=true",
+                     "train.queue_size=64")
+    ] + [f"exp_dir={tmp_path}", "train.accumulation_steps=2",
+         "train.loss_names=[itc,itm]", "data.num_workers=0"])
+    trainer = Trainer(cfg)
+    loader = trainer.data.train_loader()
+    state = trainer.init_state(next(iter(loader)))
+    train_step = trainer.make_train_step()
+    batch = next(iter(trainer.feeder(iter(loader))))
+    state, metrics = train_step(state, batch, jnp.asarray(0.0))
+    for k in ("i2t_Loss", "t2i_Loss", "itc_task_loss", "itm_task_loss",
+              "total_loss"):
+        assert np.isfinite(float(metrics[k])), k
+
+
 def test_ema_update_math():
     ema = {"w": jnp.zeros((4,))}
     params = {"w": jnp.ones((4,))}
@@ -196,3 +273,44 @@ def test_patch_pooling_matches_torch_avg_pool2d_on_14x14():
     ).numpy()
     assert got.shape == (2, 16, 8)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_dual_ema_trees_coexist(tmp_path):
+    """vlmo_ema (ITC momentum encoder, decay 0.995) + model_ema (eval EMA,
+    decay 0.9999) together — the reference holds BOTH trees
+    (vlmo_module.py:120-131 and utils/utils.py:486-508, flags
+    conf/config.yaml:136-141); round 2 raised ValueError on the combination."""
+    from exploremultimodal_tpu.train.trainer import Trainer
+
+    cfg = load_config(TINY + [
+        f"exp_dir={tmp_path}", "model_ema=true", "model_ema_decay=0.9999",
+    ])
+    trainer = Trainer(cfg)
+    loader = trainer.data.train_loader()
+    state = trainer.init_state(next(iter(loader)))
+    assert state.ema_params is not None
+    assert state.model_ema_params is not None
+
+    train_step = trainer.make_train_step()
+    batch = next(iter(trainer.feeder(iter(loader))))
+    p0 = np.asarray(jax.tree.leaves(state.params)[0])
+    state, metrics = train_step(state, batch, jnp.asarray(0.0))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    p1 = np.asarray(jax.tree.leaves(state.params)[0])
+    mom = np.asarray(jax.tree.leaves(state.ema_params)[0])
+    ema = np.asarray(jax.tree.leaves(state.model_ema_params)[0])
+    # both trees moved toward the new params at their own decay:
+    # tree = p0*decay + p1*(1-decay)
+    np.testing.assert_allclose(mom, p0 * 0.995 + p1 * 0.005, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(ema, p0 * 0.9999 + p1 * 0.0001, rtol=1e-5, atol=1e-7)
+    assert not np.array_equal(mom, ema)
+
+    # evaluate() uses the model_ema tree (not the momentum tree): eval with a
+    # zeroed model_ema tree must differ from eval with real weights
+    val = trainer.evaluate(state, trainer.data.train_loader())
+    zeroed = state.replace(
+        model_ema_params=jax.tree.map(jnp.zeros_like, state.model_ema_params)
+    )
+    val_zero = trainer.evaluate(zeroed, trainer.data.train_loader())
+    assert val["total_loss"] != val_zero["total_loss"]
