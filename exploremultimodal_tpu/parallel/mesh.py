@@ -45,13 +45,16 @@ def initialize_runtime(cfg: Any) -> None:
         jax.config.update("jax_default_prng_impl", impl)
     if _runtime_initialized:
         return
-    _runtime_initialized = True
     if rt.get("coordinator_address"):
+        # mark initialized only on success: if the coordinator is transiently
+        # unavailable a retry must attempt distributed init again instead of
+        # silently proceeding single-process
         jax.distributed.initialize(
             coordinator_address=rt["coordinator_address"],
             num_processes=rt.get("num_processes"),
             process_id=rt.get("process_id"),
         )
+    _runtime_initialized = True
 
 
 def _reconcile_with_preset(cfg: Any, data: int, fsdp: int, tensor: int):

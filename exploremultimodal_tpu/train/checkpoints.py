@@ -126,32 +126,83 @@ def _apply_retention(output_dir: str, keep_epoch: int, logger=None) -> None:
                 logger.info(f"removed old checkpoint {path}")
 
 
-def _fetch_url_checkpoint(url: str, logger=None) -> str:
+def _fetch_url_checkpoint(url: str, logger=None, sha256: str = "") -> str:
     """Download a checkpoint URL into a local cache dir (idempotent) and
     return the cached path — the torch.hub.load_state_dict_from_url analogue
-    (reference utils.py:566-569) without the torch.hub dependency."""
+    (reference utils.py:566-569) without the torch.hub dependency.
+
+    Integrity, matching torch.hub's check_hash=True convention: https only
+    (http downgrades raise; file:// is local and exempt), and the expected
+    digest comes from `sha256` (cfg.train.resume_sha256) or, like torch.hub,
+    from a `<name>-<hexprefix>.pth` filename — the download's sha256 must
+    start with that prefix or the file is discarded."""
     import hashlib
+    import tempfile
     import urllib.parse
     import urllib.request
+
+    if url.startswith("http://"):
+        raise ValueError(
+            f"refusing plain-http checkpoint URL {url!r}: downloads are "
+            "unauthenticated and the file feeds a pickle importer — use "
+            "https:// (reference utils.py:566-569 is https + check_hash)"
+        )
+    expect = (sha256 or "").lower()
+    name = os.path.basename(urllib.parse.urlparse(url).path) or "checkpoint"
+    if not expect:
+        # torch.hub filename convention: resnet50-0676ba61.pth
+        m = re.search(r"-([0-9a-f]{8,64})\.[a-zA-Z]+$", name)
+        if m:
+            expect = m.group(1)
 
     cache_dir = os.environ.get(
         "EMM_CKPT_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "emm_checkpoints"),
     )
     os.makedirs(cache_dir, exist_ok=True)
-    name = os.path.basename(urllib.parse.urlparse(url).path) or "checkpoint"
     dest = os.path.join(
         cache_dir, f"{hashlib.sha256(url.encode()).hexdigest()[:12]}_{name}"
     )
     if not os.path.exists(dest):
         if logger:
             logger.info(f"downloading checkpoint {url} -> {dest}")
-        tmp = dest + ".part"
-        urllib.request.urlretrieve(url, tmp)
-        os.replace(tmp, dest)
+        # unique temp name: concurrent processes (multi-host auto_load, or
+        # two runs sharing EMM_CKPT_CACHE) must not interleave writes into
+        # one shared .part file; os.replace makes the install atomic and
+        # last-writer-wins with identical content
+        fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".part")
+        os.close(fd)
+        try:
+            urllib.request.urlretrieve(url, tmp)
+            if expect:
+                h = hashlib.sha256()
+                with open(tmp, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+                if not h.hexdigest().startswith(expect):
+                    raise ValueError(
+                        f"checkpoint {url} sha256 {h.hexdigest()[:16]}… does "
+                        f"not match expected prefix {expect!r}"
+                    )
+            os.replace(tmp, dest)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     elif logger:
         logger.info(f"using cached checkpoint {dest} for {url}")
     return dest
+
+
+def _is_torch_file(path: str) -> bool:
+    """Detect a torch checkpoint by content: a zip archive (torch>=1.6
+    zipfile serialization) or a pickle protocol-2+ stream (legacy format) —
+    so URLs whose basename lacks a .pth/.pt extension (e.g. …/download?id=x)
+    still route to the torch importer instead of dying in the orbax path."""
+    if not os.path.isfile(path):
+        return False
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    return magic[:2] == b"PK" or (len(magic) == 2 and magic[0] == 0x80)
 
 
 def auto_load(
@@ -167,8 +218,10 @@ def auto_load(
     (state, next_epoch)."""
     resume = cfg.train.get("resume") or ""
     if resume.startswith(("http://", "https://", "file://")):
-        resume = _fetch_url_checkpoint(resume, logger)
-    if resume.endswith((".pth", ".pt", ".ckpt")):
+        resume = _fetch_url_checkpoint(
+            resume, logger, sha256=cfg.train.get("resume_sha256", "")
+        )
+    if resume.endswith((".pth", ".pt", ".ckpt")) or _is_torch_file(resume):
         return _load_torch(resume, state, cfg, logger), int(
             cfg.train.get("start_epoch", 0)
         )

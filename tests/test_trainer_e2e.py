@@ -412,3 +412,58 @@ def test_url_checkpoint_resume_via_file_url(tmp_path, monkeypatch):
     cached = ckpt_lib._fetch_url_checkpoint(f"file://{pth}")
     assert (tmp_path / "ckpt_cache") in list((tmp_path / "ckpt_cache").parents) or \
         str(tmp_path / "ckpt_cache") in cached
+
+
+def test_url_checkpoint_integrity(tmp_path, monkeypatch):
+    """Checkpoint URL hardening (advisor round-2): plain http is refused
+    (unauthenticated bytes would feed the pickle importer), a sha256
+    mismatch discards the download, a matching torch.hub-style filename
+    hash prefix passes, and format detection is content-based so
+    extensionless URLs still reach the torch importer."""
+    import hashlib
+
+    import pytest
+    import torch
+
+    from exploremultimodal_tpu.train import checkpoints as ckpt_lib
+
+    monkeypatch.setenv("EMM_CKPT_CACHE", str(tmp_path / "cache"))
+
+    with pytest.raises(ValueError, match="http"):
+        ckpt_lib._fetch_url_checkpoint("http://example.com/ckpt.pth")
+
+    payload = tmp_path / "weights.pth"
+    torch.save({"model": {}}, str(payload))
+    digest = hashlib.sha256(payload.read_bytes()).hexdigest()
+
+    # explicit sha256 mismatch → discarded, nothing cached
+    with pytest.raises(ValueError, match="sha256"):
+        ckpt_lib._fetch_url_checkpoint(
+            f"file://{payload}", sha256="0" * 64
+        )
+    assert not any((tmp_path / "cache").glob("*weights.pth"))
+
+    # explicit match and torch.hub filename convention both verify
+    got = ckpt_lib._fetch_url_checkpoint(f"file://{payload}", sha256=digest)
+    assert os.path.exists(got)
+    named = tmp_path / f"weights-{digest[:8]}.pth"
+    named.write_bytes(payload.read_bytes())
+    assert os.path.exists(ckpt_lib._fetch_url_checkpoint(f"file://{named}"))
+    bad = tmp_path / "weights-deadbeef.pth"
+    bad.write_bytes(payload.read_bytes())
+    with pytest.raises(ValueError, match="sha256"):
+        ckpt_lib._fetch_url_checkpoint(f"file://{bad}")
+
+    # content-based detection: zip (torch>=1.6) and legacy pickle magic,
+    # but not an orbax directory or random text
+    noext = tmp_path / "download_no_ext"
+    noext.write_bytes(payload.read_bytes())
+    assert ckpt_lib._is_torch_file(str(noext))
+    legacy = tmp_path / "legacy"
+    with open(legacy, "wb") as f:
+        torch.save({"model": {}}, f, _use_new_zipfile_serialization=False)
+    assert ckpt_lib._is_torch_file(str(legacy))
+    text = tmp_path / "plain.txt"
+    text.write_text("hello")
+    assert not ckpt_lib._is_torch_file(str(text))
+    assert not ckpt_lib._is_torch_file(str(tmp_path))
