@@ -178,6 +178,13 @@ class Trainer:
         p_specs = param_specs(state.params, self.preset, self.mesh)
         o_specs = opt_state_specs(state.opt_state, self.preset, self.mesh)
         self._offload = bool(self.cfg.parallel.get("offload_opt_state", False))
+        if self._offload and jax.devices()[0].platform == "cpu":
+            # host-only backend: "pinned_host" is not a distinct memory space
+            # (device memory IS host memory) and jit rejects the mixed memory
+            # kinds — keep the fsdp_offload SHARDING but skip the staging, so
+            # the virtual-mesh dryrun still validates the preset's partition
+            # rules; the real offload path is exercised on TPU
+            self._offload = False
         self._opt_dev_shardings = to_shardings(o_specs, self.mesh)
         if self._offload:
             # optimizer state parks in pinned host memory (ZeRO-offload
@@ -367,7 +374,7 @@ class Trainer:
                 mesh=self.mesh,
                 in_specs=(P_(), P_("data"), P_(), P_(), mf_spec, P_()),
                 out_specs=P_(),
-                check_rep=False,
+                check_vma=False,
             )
             return inner_s(params, model_batch, rngs, epoch,
                            momentum_feats, queue)

@@ -1,0 +1,206 @@
+"""Capture a jax.profiler trace of the headline pretrain step and print a
+per-fusion-category time table (the round-2/3 perf methodology: BENCH.md).
+
+Usage:  python scripts/profile_step.py            # b32 headline config
+        BENCH_BATCH=64 python scripts/profile_step.py
+Writes the raw trace under /tmp/emm_trace for TensorBoard/XProf; prints the
+top individual ops and a category rollup (matmul fusions / loop fusions /
+rng+dropout / copies / convs / other) to stdout.
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+TRACE_DIR = os.environ.get("EMM_TRACE_DIR", "/tmp/emm_trace")
+
+
+import re
+
+
+def build_hlo_map(hlo: str) -> dict:
+    """instruction name -> (category, source-op_name hint) from compiled HLO.
+
+    Fusions are classified by their fused computation's contents (dot/conv/
+    rng inside), everything else by opcode; the metadata op_name ties the
+    time back to model code (e.g. '...VlmoTask.infer/.../attn/...')."""
+    # fused computations: which contain dot / conv / rng?
+    comp_kind: dict[str, str] = {}
+    cur = None
+    for line in hlo.splitlines():
+        m = re.match(r"%?([\w.\-]+)\s*(?:\([^)]*\))?\s*->.*{$|^ *%?([\w.\-]+) \(", line)
+        if line.startswith("%fused_"):
+            cur = line.split()[0].lstrip("%").split("(")[0].strip()
+            comp_kind[cur] = "elementwise"
+            continue
+        if line.startswith("}"):
+            cur = None
+            continue
+        if cur:
+            if " dot(" in line or " dot-start(" in line:
+                comp_kind[cur] = "matmul"
+            elif " convolution(" in line and comp_kind[cur] != "matmul":
+                comp_kind[cur] = "conv"
+            elif (" rng-bit-generator(" in line
+                  and comp_kind[cur] == "elementwise"):
+                comp_kind[cur] = "rng"
+
+    out: dict[str, tuple[str, str]] = {}
+    for line in hlo.splitlines():
+        m = re.match(r"\s+(?:ROOT )?%?([\w.\-]+) = .+? ([a-z\-]+)\(", line)
+        if not m:
+            continue
+        name, opcode = m.groups()
+        src = ""
+        mm = re.search(r'op_name="([^"]+)"', line)
+        if mm:
+            src = mm.group(1)
+        if opcode == "fusion":
+            mc = re.search(r"calls=%?([\w.\-]+)", line)
+            kind = comp_kind.get(mc.group(1), "elementwise") if mc else "elementwise"
+            cat = {"matmul": "matmul_fusion", "conv": "conv_fusion",
+                   "rng": "rng_dropout", "elementwise": "loop_fusion"}[kind]
+        elif opcode in ("copy", "transpose", "bitcast", "copy-start",
+                        "copy-done"):
+            cat = "copy_layout"
+        elif opcode in ("convolution",):
+            cat = "conv_fusion"
+        elif opcode in ("dot",):
+            cat = "matmul_fusion"
+        elif opcode.startswith(("all-", "collective", "reduce-scatter")):
+            cat = "collective"
+        elif opcode == "rng-bit-generator":
+            cat = "rng_dropout"
+        else:
+            cat = "other:" + opcode
+        out[name] = (cat, src)
+    return out
+
+
+def categorize(name: str, hlo_map: dict) -> str:
+    if name in hlo_map:
+        return hlo_map[name][0]
+    n = name.lower()
+    if "conv" in n:
+        return "conv_fusion"
+    if any(k in n for k in ("dot", "matmul", "einsum", "gemm")):
+        return "matmul_fusion"
+    if any(k in n for k in ("rng", "bit-generator", "threefry", "philox",
+                            "rbg")):
+        return "rng_dropout"
+    if any(k in n for k in ("copy", "transpose", "bitcast")):
+        return "copy_layout"
+    if "fusion" in n or "loop" in n:
+        return "loop_fusion"
+    if any(k in n for k in ("all-reduce", "all-gather", "reduce-scatter",
+                            "collective")):
+        return "collective"
+    return "other"
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("EMM_JAX_CACHE", "/tmp/emm_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import bench
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    trainer, state, batch = bench._trainer([
+        "model=vlmo_base",
+        "train=pretrain_mum",
+        "train.datasets=[synthetic]",
+        f"data.batch_size={batch_size}",
+        f"data.synthetic_size={4 * batch_size}",
+        "data.num_workers=4",
+        "train.discrete_vae_type=random",
+        "compute_dtype=bfloat16",
+        "model.attn_drop_rate=0.0",
+        f"attn_impl={os.environ.get('BENCH_ATTN', 'recompute')}",
+        "train.warmup_steps=2",
+        "exp_dir=/tmp/emm_profile",
+        "log_level=error",
+    ])
+    train_step = trainer.make_train_step()
+    epoch = jnp.asarray(0.0)
+
+    # warm up / compile
+    for _ in range(3):
+        state, metrics = train_step(state, batch, epoch)
+    bench._sync(metrics["total_loss"])
+
+    # HLO map: op/fusion instruction name -> (kind, op_name source hint)
+    compiled = train_step.lower(state, batch, epoch).compile()
+    hlo_text = compiled.as_text()
+    with open("/tmp/emm_step_hlo.txt", "w") as f:
+        f.write(hlo_text)
+    hlo_map = build_hlo_map(hlo_text)
+
+    os.makedirs(TRACE_DIR, exist_ok=True)
+    with jax.profiler.trace(TRACE_DIR):
+        for _ in range(5):
+            state, metrics = train_step(state, batch, epoch)
+        bench._sync(metrics["total_loss"])
+
+    # newest trace.json.gz under TRACE_DIR
+    traces = sorted(glob.glob(
+        os.path.join(TRACE_DIR, "**", "*.trace.json.gz"), recursive=True
+    ), key=os.path.getmtime)
+    if not traces:
+        print("no trace captured (tunneled backend may not support xprof)")
+        return
+    with gzip.open(traces[-1], "rt") as f:
+        data = json.load(f)
+
+    # keep only events that are HLO instructions of the train step — this
+    # selects the TensorCore lane and drops host-python / envelope lanes
+    dev_events = [e for e in data.get("traceEvents", [])
+                  if e.get("ph") == "X" and e.get("dur")
+                  and str(e.get("name", "")) in hlo_map]
+    if not dev_events:
+        print("no HLO op events in trace")
+        return
+
+    per_op = collections.Counter()
+    for e in dev_events:
+        per_op[e["name"]] += e["dur"]
+    n_steps = 5
+    total = sum(per_op.values()) / 1e3 / n_steps
+
+    print(f"\n== trace {os.path.basename(traces[-1])}  "
+          f"device total {total:.1f} ms/step over {n_steps} steps ==")
+    with open("/tmp/emm_per_op.json", "w") as f:
+        json.dump({k: {"us_total": v,
+                       "cat": hlo_map.get(k, ("?", ""))[0],
+                       "src": hlo_map.get(k, ("?", ""))[1]}
+                   for k, v in per_op.items()}, f)
+    cats = collections.Counter()
+    for name, dur in per_op.items():
+        cats[categorize(name, hlo_map)] += dur
+    print("\n-- categories (ms/step) --")
+    for cat, dur in cats.most_common():
+        print(f"  {cat:24s} {dur / 1e3 / n_steps:8.2f}")
+    print("\n-- top 40 ops (ms/step) --")
+    for name, dur in per_op.most_common(40):
+        cat, src = hlo_map.get(name, ("?", ""))
+        # keep the informative tail of the op_name path
+        src_tail = "/".join(src.split("/")[-4:]) if src else ""
+        print(f"  {dur / 1e3 / n_steps:8.2f}  {cat:14s} {name[:40]:40s} "
+              f"{src_tail[:90]}")
+
+
+if __name__ == "__main__":
+    main()
