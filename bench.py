@@ -206,7 +206,12 @@ def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
 
 
 def bench_beit_mim(batch_size: int, n_warmup: int, n_iters: int) -> dict:
-    return _train_step_bench(
+    # BENCH_ATTN_DROP / BENCH_ATTN expose the attn_drop=0.1 A/B scenario
+    # (reference default, conf/model/vlmo_base.yaml): XLA-recompute pays a
+    # materialized (B,H,N,N) mask pipeline there; impl=pallas regenerates the
+    # mask inside the flash kernels (ops/flash_attention.py)
+    attn_drop = os.environ.get("BENCH_ATTN_DROP", "0.0")
+    result = _train_step_bench(
         "beit_vitb16_mim_step_images_per_sec_per_chip",
         "beit_mim",
         [
@@ -219,13 +224,18 @@ def bench_beit_mim(batch_size: int, n_warmup: int, n_iters: int) -> dict:
             "train.discrete_vae_type=random",
             "compute_dtype=bfloat16",
             # same modern-recipe setting as the headline config
-            "model.attn_drop_rate=0.0",
+            f"model.attn_drop_rate={attn_drop}",
+            f"attn_impl={os.environ.get('BENCH_ATTN', 'recompute')}",
             "train.warmup_steps=2",
             "exp_dir=/tmp/emm_bench_mim",
             "log_level=error",
         ],
         batch_size, n_warmup, n_iters,
     )
+    result["detail"]["attn"] = (
+        os.environ.get("BENCH_ATTN", "recompute") + f" (attn_drop {attn_drop})"
+    )
+    return result
 
 
 def bench_vqa(batch_size: int, n_warmup: int, n_iters: int) -> dict:

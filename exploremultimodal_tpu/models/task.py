@@ -366,6 +366,11 @@ class VlmoTask(nn.Module):
                 )
             )
         shared = ret if "itc" in names else None
+        # (A merged MLM+ITM fused-top pass — both objectives' rows through
+        # ONE 4·bs fuse_from_hidden over the shared vl-expert weights — was
+        # A/B'd in round 3 and REGRESSED the headline step 209→229 ms: the
+        # (4·bs, N, C) concats materialize ~76 MB/step and XLA schedules the
+        # two smaller streams better. See BENCH.md round 3.)
         if "mlm" in names:
             ret.update(obj.compute_mlm(self, batch, deterministic, shared=shared))
         if "mim" in names:

@@ -314,17 +314,18 @@ def in_batch_g2l_loss(l, m, temp, attention_mask=None, pos_offset=0) -> jax.Arra
 # ------------------------------------------------------------------- ITM
 
 
-def compute_itm(
+def itm_sample_pairs(
     task,
     batch: Batch,
     sim_dict: dict | None = None,
     rng: jax.Array | None = None,
     deterministic: bool = True,
     pos_offset: jax.Array | int = 0,
-) -> dict:
-    """Image-text matching with ITC-guided hard negatives
-    (objectives.py:239-314). One fused forward over [pos, img-neg, txt-neg]
-    pairs (3·bs rows — same math as the reference's two forwards, one launch).
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """ITC-guided hard-negative sampling + below-fusion pair assembly for ITM
+    (objectives.py:239-291). Returns (pair_img, pair_txt, pair_mask, labels)
+    for the [pos, img-neg, txt-neg] 3·bs rows, ready for fuse_from_hidden —
+    split out so the task can batch these rows with MLM's fused rows.
 
     Under accumulation with momentum ITC the shared sims have full-batch
     columns; this microbatch's own candidates sit at columns
@@ -390,15 +391,16 @@ def compute_itm(
     pair_mask = jnp.concatenate(
         [txt_mask, txt_mask, txt_mask[neg_txt_idx]], axis=0
     )
-
-    co_feats, _ = task.fuse_from_hidden(
-        pair_img, pair_txt, pair_mask, deterministic=deterministic
-    )
-    cls_feats = task.pool_feats(co_feats)
-    logits = task.itm_logits(cls_feats)
     labels = jnp.concatenate(
         [jnp.ones(bs, jnp.int32), jnp.zeros(2 * bs, jnp.int32)]
     )
+    return pair_img, pair_txt, pair_mask, labels
+
+
+def itm_loss_from_co(task, co_feats: jax.Array, labels: jax.Array) -> dict:
+    """ITM head + CE on already-fused pair rows (objectives.py:292-314)."""
+    cls_feats = task.pool_feats(co_feats)
+    logits = task.itm_logits(cls_feats)
     loss, acc, count = masked_cross_entropy(
         logits, labels, jnp.ones_like(labels)
     )
@@ -407,6 +409,27 @@ def compute_itm(
         "itm_mean_acc": acc,
         "itm_count": count,
     }
+
+
+def compute_itm(
+    task,
+    batch: Batch,
+    sim_dict: dict | None = None,
+    rng: jax.Array | None = None,
+    deterministic: bool = True,
+    pos_offset: jax.Array | int = 0,
+) -> dict:
+    """Image-text matching with ITC-guided hard negatives
+    (objectives.py:239-314). One fused forward over [pos, img-neg, txt-neg]
+    pairs (3·bs rows — same math as the reference's two forwards, one
+    launch)."""
+    pair_img, pair_txt, pair_mask, labels = itm_sample_pairs(
+        task, batch, sim_dict, rng, deterministic, pos_offset
+    )
+    co_feats, _ = task.fuse_from_hidden(
+        pair_img, pair_txt, pair_mask, deterministic=deterministic
+    )
+    return itm_loss_from_co(task, co_feats, labels)
 
 
 # ------------------------------------------------------------------- MIM

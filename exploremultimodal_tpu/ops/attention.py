@@ -52,15 +52,33 @@ def multi_head_attention(
     deterministic: bool = True,
     impl: str = "recompute",
 ) -> jax.Array:
-    """q, k, v: (B, H, N, D_head) → (B, H, N, D_head)."""
+    """q, k, v: (B, H, N, D_head) → (B, H, N, D_head).
+
+    (A (B, N, H, D) layout variant — head transpose folded into the
+    dot_generals instead of materialized copies — was A/B'd in round 3 and
+    REGRESSED the headline step 207→220 ms: XLA's chosen dot layouts got
+    worse than the explicit transposes it replaced. See BENCH.md round 3.)"""
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
     use_dropout = dropout_rate > 0.0 and not deterministic
-    if impl == "pallas" and not use_dropout and q.shape[-2] == k.shape[-2]:
-        from exploremultimodal_tpu.ops.flash_attention import flash_attention
+    if impl == "pallas" and q.shape[-2] == k.shape[-2]:
+        from exploremultimodal_tpu.ops import flash_attention as fa
 
-        return flash_attention(q, k, v, bias=bias, scale=scale)
+        n_pad = fa._round_up(q.shape[-2], fa.BLOCK_Q)
+        # dropout runs IN-KERNEL (mask regenerated in the flash backward)
+        # while the fused backward applies; longer sequences fall through
+        # to the recompute path below
+        if not use_dropout or n_pad <= fa.LONG_SEQ_THRESHOLD:
+            drop_kw = {}
+            if use_dropout:
+                drop_kw = dict(
+                    dropout_rate=dropout_rate,
+                    dropout_seed=jax.random.bits(
+                        dropout_rng, (), jnp.uint32
+                    ).astype(jnp.int32),
+                )
+            return fa.flash_attention(q, k, v, bias=bias, scale=scale, **drop_kw)
 
     def core(q, k, v, bias, rng):
         scores = jnp.einsum(

@@ -488,3 +488,33 @@ def test_shared_stream_restructure_bit_equivalent():
     assert "itc_h_img" in out and "itc_h_txt" in out
     for k in ("mlm_task_loss", "itc_task_loss", "itm_task_loss"):
         assert np.isfinite(float(out[k])), k
+
+
+def test_itm_builder_composition_matches_compute_itm():
+    """itm_sample_pairs + fuse_from_hidden + itm_loss_from_co (the split
+    building blocks) must compose to exactly compute_itm."""
+    from exploremultimodal_tpu.objectives import losses as obj
+
+    task = make_task(["mlm", "itc", "itm"], phase="pretrain_mum")
+    batch = make_batch()
+    variables = init_task(task, batch)
+
+    def composed(m):
+        ret = obj.compute_itc(m, batch, True)
+        pair_img, pair_txt, pair_mask, labels = obj.itm_sample_pairs(
+            m, batch, ret, deterministic=True
+        )
+        co, _ = m.fuse_from_hidden(pair_img, pair_txt, pair_mask)
+        return obj.itm_loss_from_co(m, co, labels)
+
+    def direct(m):
+        ret = obj.compute_itc(m, batch, True)
+        return obj.compute_itm(m, batch, ret, deterministic=True)
+
+    a = task.apply(variables, method=composed,
+                   rngs={"sample": jax.random.key(5)})
+    b = task.apply(variables, method=direct,
+                   rngs={"sample": jax.random.key(5)})
+    for k in ("itm_task_loss", "itm_mean_acc", "itm_count"):
+        np.testing.assert_allclose(float(a[k]), float(b[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)

@@ -167,3 +167,75 @@ def test_beyond_full_row_k_blocked_kernel_matches_xla():
     out = multi_head_attention(q, k, v, bias=bias, impl="pallas")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_in_kernel_dropout_matches_oracle_mask_fwd_and_bwd():
+    """The dropout flash kernels (fwd + regenerated-mask bwd) must agree with
+    an XLA chain that applies the EXACT mask the kernels generate internally
+    (dropout_keep_mask is the host-side oracle of the in-kernel hash)."""
+    from exploremultimodal_tpu.ops.flash_attention import (
+        BLOCK_Q, dropout_keep_mask, flash_attention,
+    )
+
+    rng = np.random.default_rng(21)
+    B, H, N, D, rate = 2, 3, 197, 64, 0.1
+    n_pad = -(-N // BLOCK_Q) * BLOCK_Q
+    q, k, v = _rand_qkv(rng, B=B, H=H, N=N, D=D)
+    mask = np.ones((B, N), np.int32)
+    mask[0, 150:] = 0
+    bias = key_padding_bias(jnp.asarray(mask))
+    seed = jnp.asarray([1234], jnp.int32)
+    keep = dropout_keep_mask(seed, B, H, n_pad, rate)[:, :, :N, :N]
+
+    def ref(q, k, v):
+        scale = D ** -0.5
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale + bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs * keep, v)
+
+    def kern(q, k, v):
+        return flash_attention(q, k, v, bias=bias, scale=D ** -0.5,
+                               dropout_rate=rate, dropout_seed=seed)
+
+    np.testing.assert_allclose(np.asarray(kern(q, k, v)),
+                               np.asarray(ref(q, k, v)),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss(f):
+        return jax.grad(
+            lambda q_, k_, v_: jnp.sum(jnp.sin(f(q_, k_, v_))),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+
+    for a, b in zip(loss(kern), loss(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_in_kernel_dropout_statistics_and_gating():
+    """Keep-rate ≈ 1-rate; rate=0 path identical to the plain kernel; the
+    multi_head_attention pallas impl routes dropout in-kernel at VLMo shapes
+    and falls back to recompute beyond the fused-bwd ceiling."""
+    from exploremultimodal_tpu.ops.flash_attention import dropout_keep_mask
+
+    keep = np.asarray(dropout_keep_mask(jnp.asarray([7], jnp.int32),
+                                        2, 2, 256, 0.3))
+    frac = (keep > 0).mean()
+    assert abs(frac - 0.7) < 0.01
+    # distinct (bh) planes decorrelated
+    assert not np.array_equal(keep[0, 0], keep[1, 1])
+
+    rng = np.random.default_rng(22)
+    q, k, v = _rand_qkv(rng, B=1, H=2, N=64, D=32)
+    a = multi_head_attention(q, k, v, impl="pallas")
+    b = multi_head_attention(q, k, v, impl="pallas", dropout_rate=0.0,
+                             dropout_rng=jax.random.key(0),
+                             deterministic=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # dropout active: output differs but mean is preserved (inverted scale)
+    c = multi_head_attention(q, k, v, impl="pallas", dropout_rate=0.5,
+                             dropout_rng=jax.random.key(0),
+                             deterministic=False)
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+    assert abs(np.asarray(c).mean() - np.asarray(a).mean()) < 0.1
