@@ -189,10 +189,10 @@ def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
             "data.num_workers=4",
             "train.discrete_vae_type=random",
             "compute_dtype=bfloat16",
-            # attention-prob dropout off (modern recipe; hidden/droppath
-            # dropout stay on); recompute attention never stores the
-            # (B,H,N,N) probs either way
-            "model.attn_drop_rate=0.0",
+            # attention-prob dropout off by default (modern recipe;
+            # hidden/droppath dropout stay on); BENCH_ATTN_DROP=0.1 exposes
+            # the reference-default scenario for the in-kernel-dropout A/B
+            f"model.attn_drop_rate={os.environ.get('BENCH_ATTN_DROP', '0.0')}",
             f"attn_impl={os.environ.get('BENCH_ATTN', 'recompute')}",
             "train.warmup_steps=2",
             "exp_dir=/tmp/emm_bench",
@@ -201,7 +201,10 @@ def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
         batch_size, n_warmup, n_iters,
     )
     result["detail"]["losses"] = "mlm+itc+itm+mim (incl. dVAE tokenize)"
-    result["detail"]["attn"] = os.environ.get("BENCH_ATTN", "recompute") + " (attn_drop 0)"
+    result["detail"]["attn"] = (
+        os.environ.get("BENCH_ATTN", "recompute")
+        + f" (attn_drop {os.environ.get('BENCH_ATTN_DROP', '0.0')})"
+    )
     return result
 
 
