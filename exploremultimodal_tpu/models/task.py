@@ -59,6 +59,13 @@ class VlmoConfig:
     global_reduce: bool = False
     kl_alpha: float = 0.0
     isda_lambda: float = 0.0
+    # masked-head gather caps (fraction of positions the MLM/MIM vocab heads
+    # compute logits for; 1.0 = full sequence, reference behavior). MLM
+    # default leaves >6 sigma over mlm_prob=0.15 incl. WWM bursts; the
+    # blockwise/random image mask generators never exceed num_mask_patches
+    # (75 of 196 = 0.383 by default), so 0.4 is exact for MIM.
+    mlm_gather_cap: float = 0.375
+    mim_gather_cap: float = 0.4
 
     # compute
     dtype_name: str = "float32"
@@ -98,6 +105,8 @@ class VlmoConfig:
             global_reduce=bool(t.get("global_reduce", False)),
             kl_alpha=float(t.get("kl_alpha", 0.0)),
             isda_lambda=float(t.get("isda_lambda", 0.0)),
+            mlm_gather_cap=float(t.get("mlm_gather_cap", 0.375)),
+            mim_gather_cap=float(t.get("mim_gather_cap", 0.4)),
             dtype_name=cfg.get("compute_dtype", "float32"),
             attn_impl=cfg.get("attn_impl", "xla"),
             remat=bool(cfg.select("parallel.remat", False)),

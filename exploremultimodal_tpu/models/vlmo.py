@@ -36,7 +36,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from exploremultimodal_tpu.ops import drop_path, multi_head_attention
+from exploremultimodal_tpu.ops import FastDropout, drop_path, multi_head_attention
 from exploremultimodal_tpu.ops.attention import key_padding_bias
 
 ROUTES = ("v", "l", "vl")
@@ -56,9 +56,9 @@ class Mlp(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        x = FastDropout(self.drop_rate, deterministic=deterministic)(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
-        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        x = FastDropout(self.drop_rate, deterministic=deterministic)(x)
         return x
 
 
@@ -110,7 +110,7 @@ class Attention(nn.Module):
         )
         out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
-        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        out = FastDropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 
 
@@ -209,7 +209,7 @@ class BertTextEmbeddings(nn.Module):
         self.position_embeddings = nn.Embed(self.max_len, self.dim)
         self.token_type_embeddings = nn.Embed(2, self.dim)
         self.LayerNorm = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32)
-        self.dropout = nn.Dropout(self.drop_rate)
+        self.dropout = FastDropout(self.drop_rate)
 
     def __call__(self, ids: jax.Array, deterministic: bool = True) -> jax.Array:
         positions = jnp.arange(ids.shape[1])[None, :]
@@ -366,7 +366,7 @@ class VLMO(nn.Module):
         ]
         self.norm = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32)
         self.pooler = Pooler(self.embed_dim, dtype=self.dtype)
-        self.pos_drop = nn.Dropout(self.drop_rate)
+        self.pos_drop = FastDropout(self.drop_rate)
 
     # ------------------------------------------------------------------ embed
 

@@ -21,12 +21,20 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from exploremultimodal_tpu.parallel import all_gather_with_grad
 
 Batch = dict[str, Any]
 
 ITC_TEMP_MAX = 4.6052  # log(100); objectives.py:83
+
+
+def _gather_cap(cap: float, length: int) -> int:
+    """Static gather width for masked-position heads: ceil(cap·L), ≥ 1."""
+    if cap >= 1.0:
+        return length
+    return max(1, min(length, int(np.ceil(cap * length))))
 
 
 def masked_cross_entropy(
@@ -45,6 +53,27 @@ def masked_cross_entropy(
     preds = jnp.argmax(logits, axis=-1)
     acc = ((preds == safe_labels) * valid).sum() / jnp.maximum(count, 1.0)
     return loss, acc, count
+
+
+def gather_masked_positions(
+    feats: jax.Array, labels: jax.Array, valid: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fixed-shape gather of up to `k` valid positions per row to the front.
+
+    The vocab-size logits matmul + fp32 log-softmax only matter at masked
+    positions; the reference gathers them with boolean indexing
+    (objectives.py:52-57), which is shape-dynamic and jit-hostile. Instead a
+    stable argsort on ¬valid brings the masked positions (in sequence order)
+    to the front and the first `k` are gathered — (B, L, V) logits shrink to
+    (B, k, V). Rows with more than `k` masked positions drop the tail from
+    the loss; caps are sized so that is a multi-sigma tail event (BENCH.md
+    round 3).
+    """
+    order = jnp.argsort(~valid, axis=1, stable=True)[:, :k]
+    g_feats = jnp.take_along_axis(feats, order[..., None], axis=1)
+    g_labels = jnp.take_along_axis(labels, order, axis=1)
+    g_valid = jnp.take_along_axis(valid, order, axis=1)
+    return g_feats, g_labels, g_valid
 
 
 def compute_accuracy(logits: jax.Array, labels: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -97,8 +126,13 @@ def compute_mlm(
         txt_feats = infer["txt_feats"]
         labels = infer["txt_labels"]
 
-    logits = task.mlm_logits(txt_feats)
     valid = labels != -100
+    k = _gather_cap(task.config.mlm_gather_cap, labels.shape[1])
+    if k < labels.shape[1]:
+        txt_feats, labels, valid = gather_masked_positions(
+            txt_feats, labels, valid, k
+        )
+    logits = task.mlm_logits(txt_feats)
     loss, acc, count = masked_cross_entropy(logits, labels, valid)
     return {
         "mlm_task_loss": loss,
@@ -466,8 +500,14 @@ def compute_mim(task, batch: Batch, deterministic: bool = True) -> dict:
         raise ValueError(f"mim_head_pos {head_pos!r}")
 
     patch_feats = img_feats[:, 1:]  # drop CLS
+    valid = bool_masked > 0
+    k = _gather_cap(task.config.mim_gather_cap, labels.shape[1])
+    if k < labels.shape[1]:
+        patch_feats, labels, valid = gather_masked_positions(
+            patch_feats, labels, valid, k
+        )
     logits = task.mim_logits(patch_feats)
-    loss, acc, count = masked_cross_entropy(logits, labels, bool_masked)
+    loss, acc, count = masked_cross_entropy(logits, labels, valid)
     return {
         "mim_task_loss": loss,
         "mim_mean_acc": acc,

@@ -1,5 +1,7 @@
 """Objective math tests on tiny fixed inputs (SURVEY.md §4 test strategy)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -518,3 +520,79 @@ def test_itm_builder_composition_matches_compute_itm():
     for k in ("itm_task_loss", "itm_mean_acc", "itm_count"):
         np.testing.assert_allclose(float(a[k]), float(b[k]),
                                    rtol=1e-6, atol=1e-7, err_msg=k)
+
+
+def test_gather_masked_positions_equivalence_and_truncation():
+    """Gathered-head CE == full-sequence CE when count <= k; tail dropped
+    (in sequence order) beyond k."""
+    from exploremultimodal_tpu.objectives.losses import (
+        gather_masked_positions,
+        masked_cross_entropy,
+    )
+
+    rng = np.random.default_rng(0)
+    B, L, D, V = 4, 24, 8, 13
+    feats = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    W = jnp.asarray(rng.normal(size=(D, V)), jnp.float32)
+    labels = np.full((B, L), -100)
+    for b in range(B):
+        pos = rng.choice(L, size=5, replace=False)
+        labels[b, pos] = rng.integers(0, V, 5)
+    labels = jnp.asarray(labels)
+    valid = labels != -100
+
+    full = masked_cross_entropy(feats @ W, labels, valid)
+
+    g_feats, g_labels, g_valid = gather_masked_positions(feats, labels, valid, 8)
+    gathered = masked_cross_entropy(g_feats @ W, g_labels, g_valid)
+
+    for a, b in zip(full, gathered):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+    # truncation: k=3 keeps only the first 3 masked positions per row
+    g_feats, g_labels, g_valid = gather_masked_positions(feats, labels, valid, 3)
+    assert g_valid.shape == (B, 3) and bool(g_valid.all())
+    for b in range(B):
+        first3 = np.flatnonzero(np.asarray(valid)[b])[:3]
+        np.testing.assert_array_equal(
+            np.asarray(g_labels)[b], np.asarray(labels)[b, first3]
+        )
+
+
+def test_mlm_and_mim_gather_cap_matches_full_head():
+    """compute_mlm/compute_mim with a gather cap reproduce the cap=1.0
+    (reference full-logits) loss exactly, at pretrain shapes."""
+    cfg_full = VlmoConfig(
+        img_size=32, patch_size=16, embed_dim=16, depth=2, num_heads=2,
+        fusion_layer=1, max_text_len=12, vocab_size=50, img_vocab_size=24,
+        loss_names=("mlm", "mim"), phase="pretrain_mum",
+        drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+        mlm_gather_cap=1.0, mim_gather_cap=1.0,
+    )
+    cfg_cap = dataclasses.replace(
+        cfg_full, mlm_gather_cap=0.5, mim_gather_cap=0.6
+    )
+    rng = np.random.default_rng(1)
+    B, L, P = 2, 12, 4  # 4 patches on the 2x2 grid
+    labels = np.full((B, L), -100)
+    labels[:, 2:5] = rng.integers(0, 50, (B, 3))
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, 32, 32, 3)), jnp.float32),
+        "text_ids": jnp.asarray(rng.integers(0, 50, (B, L))),
+        "text_ids_mlm": jnp.asarray(rng.integers(0, 50, (B, L))),
+        "text_labels_mlm": jnp.asarray(labels),
+        "text_mask": jnp.ones((B, L), jnp.int32),
+        "mim_labels": jnp.asarray(rng.integers(0, 24, (B, P))),
+        "image_bool_masked_pos": jnp.asarray([[1, 0, 1, 0], [0, 1, 0, 0]]),
+    }
+    task_full = VlmoTask(cfg_full)
+    variables = task_full.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, batch
+    )
+    out_full = task_full.apply(variables, batch)
+    out_cap = VlmoTask(cfg_cap).apply(variables, batch)
+    for key in ("mlm_task_loss", "mlm_count", "mim_task_loss", "mim_count"):
+        np.testing.assert_allclose(
+            np.asarray(out_full[key]), np.asarray(out_cap[key]),
+            rtol=2e-5, err_msg=key,
+        )

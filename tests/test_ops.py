@@ -239,3 +239,58 @@ def test_in_kernel_dropout_statistics_and_gating():
                              deterministic=False)
     assert not np.allclose(np.asarray(a), np.asarray(c))
     assert abs(np.asarray(c).mean() - np.asarray(a).mean()) < 0.1
+
+
+def test_fast_dropout_semantics():
+    """FastDropout = nn.Dropout semantics with an integer-threshold mask."""
+    from exploremultimodal_tpu.ops import FastDropout
+
+    x = jnp.ones((64, 257, 96), jnp.bfloat16)
+    mod = FastDropout(0.1)
+
+    # deterministic / rate-0 are identity (no rng needed)
+    y = FastDropout(0.1).apply({}, x, deterministic=True)
+    assert (np.asarray(y) == 1.0).all()
+    y = FastDropout(0.0).apply({}, x, deterministic=False)
+    assert (np.asarray(y) == 1.0).all()
+
+    y = mod.apply({}, x, deterministic=False,
+                  rngs={"dropout": jax.random.key(7)})
+    arr = np.asarray(y, np.float32)
+    kept = arr != 0.0
+    # realized keep rate ~ Binomial(n, 0.9) — 5 sigma over n=1.58M draws
+    keep_rate = kept.mean()
+    assert abs(keep_rate - 0.9) < 5 * np.sqrt(0.9 * 0.1 / arr.size)
+    # survivors are scaled by exactly 1/keep_prob (bf16-rounded)
+    scale = 65536.0 / (65536 - round(0.1 * 65536))
+    np.testing.assert_allclose(arr[kept], np.float32(np.float32(scale)).astype(
+        np.float32), rtol=1e-2)
+    # unbiased in expectation
+    assert abs(arr.mean() - 1.0) < 0.01
+    # deterministic given the key; different key → different mask
+    y2 = mod.apply({}, x, deterministic=False,
+                   rngs={"dropout": jax.random.key(7)})
+    assert (np.asarray(y2) == np.asarray(y)).all()
+    y3 = mod.apply({}, x, deterministic=False,
+                   rngs={"dropout": jax.random.key(8)})
+    assert not (np.asarray(y3) == np.asarray(y)).all()
+
+
+def test_fast_dropout_rate_one_and_grad():
+    from exploremultimodal_tpu.ops import FastDropout
+
+    x = jnp.ones((8, 16), jnp.float32)
+    y = FastDropout(1.0).apply({}, x, deterministic=False,
+                               rngs={"dropout": jax.random.key(0)})
+    assert (np.asarray(y) == 0.0).all()
+
+    # grads flow only through kept elements, scaled like the forward
+    def f(x):
+        return FastDropout(0.5).apply(
+            {}, x, deterministic=False, rngs={"dropout": jax.random.key(3)}
+        ).sum()
+
+    g = np.asarray(jax.grad(f)(x))
+    assert set(np.round(np.unique(g), 4)).issubset(
+        {0.0, np.round(65536.0 / (65536 - 32768), 4)}
+    )
