@@ -255,6 +255,7 @@ class Trainer:
         use_queue = bool(cfg.train.get("neg_queue"))
         isda_lambda = float(cfg.train.get("isda_lambda", 0.0))
         total_epochs = int(cfg.train.epochs)
+        watch = bool(cfg.get("wandb", {}).get("watch", False))
 
         def momentum_branch(state: TrainState, model_batch):
             """EMA-encoder features for the ITC momentum mode. Computed once
@@ -500,6 +501,15 @@ class Trainer:
             metrics["total_loss"] = loss
             metrics["grad_norm"] = global_norm(grads)
             metrics["lr"] = self.schedule(state.step)
+            if watch:
+                # wandb.watch(model, log='all') equivalent (reference
+                # pretrain/multimodal.py:142): per-top-level-module param and
+                # grad norms, computed in-graph so logging stays async
+                for mod in new_params:
+                    metrics[f"watch_param_norm/{mod}"] = global_norm(
+                        new_params[mod]
+                    )
+                    metrics[f"watch_grad_norm/{mod}"] = global_norm(grads[mod])
 
             new_state = state.replace(
                 step=state.step + 1,
@@ -609,6 +619,13 @@ class Trainer:
                 with open(os.path.join(self.output_dir, "log_stats.json"), "a") as f:
                     f.write(json.dumps({k: float(v) if isinstance(v, (int, float, np.floating)) else v
                                         for k, v in stats.items()}) + "\n")
+        if self.exp_logger and cfg.get("wandb", {}).get("alert", False):
+            # end-of-phase alert (reference train/*/…:225-264, wandb.alert)
+            self.exp_logger.alert(
+                f"{cfg.train.phase} end",
+                f"best {minimize} {best_metric} after "
+                f"{int(cfg.train.epochs)} epochs (tag {cfg.get('tag', '')})",
+            )
         self.exp_logger.finish()
         return {"best_metric": best_metric, "history": history, "state": state}
 

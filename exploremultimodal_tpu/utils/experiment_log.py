@@ -74,6 +74,37 @@ class ExperimentLogger:
             with open(self._path, "a") as f:
                 f.write(json.dumps(record) + "\n")
 
+    def update_config(self, cfg: Any) -> None:
+        """Push a (resolved) config to the run (utils/utils.py:193-194)."""
+        if not self.enable:
+            return
+        as_dict = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
+        if self._wandb is not None:
+            self._wandb.config.update(as_dict, allow_val_change=True)
+        else:
+            with open(os.path.join(self.output_dir, "config_update.json"), "w") as f:
+                json.dump(as_dict, f, indent=2, default=str)
+
+    def alert(self, title: str, text: str) -> None:
+        """End-of-phase / anomaly alert (utils/utils.py:235-242). Without a
+        wandb client the alert is appended to `<output_dir>/alerts.jsonl`."""
+        if not self.enable:
+            return
+        if self._wandb is not None:
+            try:
+                import wandb
+
+                self._wandb.alert(
+                    title=title, text=text,
+                    level=wandb.AlertLevel.INFO, wait_duration=10,
+                )
+                return
+            except Exception:
+                pass
+        with open(os.path.join(self.output_dir, "alerts.jsonl"), "a") as f:
+            f.write(json.dumps({"_time": time.time(), "title": title,
+                                "text": text}) + "\n")
+
     def finish(self) -> None:
         if not self.enable:
             return

@@ -297,6 +297,34 @@ def test_experiment_logger_jsonl_and_summary(tmp_path):
     assert not (tmp_path / "off").exists()
 
 
+def test_experiment_logger_alert_and_config_update(tmp_path):
+    """wandb.alert / wandb.config.update surface (utils/utils.py:193-194,
+    235-242): without a wandb client, alerts land in alerts.jsonl and config
+    pushes in config_update.json."""
+    import json
+
+    from exploremultimodal_tpu.config import load_config
+    from exploremultimodal_tpu.utils.experiment_log import ExperimentLogger
+
+    cfg = load_config([])
+    log = ExperimentLogger(cfg, str(tmp_path))
+    log.alert("pretrain_mum end", "best total_loss 1.23 after 2 epochs")
+    log.alert("nan guard", "non-finite loss at step 7")
+    log.update_config(cfg)
+    log.finish()
+
+    alerts = [json.loads(l) for l in open(tmp_path / "alerts.jsonl")]
+    assert [a["title"] for a in alerts] == ["pretrain_mum end", "nan guard"]
+    assert all("_time" in a and a["text"] for a in alerts)
+    pushed = json.load(open(tmp_path / "config_update.json"))
+    assert pushed["wandb"]["project"] == "vlmo_tpu"
+
+    disabled = ExperimentLogger(cfg, str(tmp_path / "off"), enable=False)
+    disabled.alert("x", "y")
+    disabled.update_config(cfg)
+    assert not (tmp_path / "off").exists()
+
+
 def test_text_corpus_packing_statistics(tmp_path):
     """Wiki-scale packing check: over hundreds of variable-length texts the
     greedy ' [SEP] ' packer must keep sequences near the token budget (the

@@ -70,6 +70,34 @@ def test_pretrain_mum_all_losses_step(tmp_path):
     assert float(metrics["grad_norm"]) > 0
 
 
+def test_wandb_watch_param_grad_norms(tmp_path):
+    """wandb.watch(log='all') equivalent (reference pretrain/multimodal.py
+    wandb_logger.watch): with wandb.watch=true the jitted step emits
+    per-top-level-module param/grad norms; off by default."""
+    trainer, cfg = make_trainer(
+        tmp_path / "watch", ["train=pretrain_txt", "wandb.watch=true"]
+    )
+    loader = trainer.data.train_loader()
+    state = trainer.init_state(next(iter(loader)))
+    train_step = trainer.make_train_step()
+    batch = next(iter(trainer.feeder(iter(loader))))
+    state, metrics = train_step(state, batch, jnp.asarray(0.0))
+
+    pkeys = [k for k in metrics if k.startswith("watch_param_norm/")]
+    gkeys = [k for k in metrics if k.startswith("watch_grad_norm/")]
+    assert pkeys and len(pkeys) == len(gkeys)
+    assert all(np.isfinite(float(metrics[k])) and float(metrics[k]) > 0
+               for k in pkeys)
+    assert all(np.isfinite(float(metrics[k])) for k in gkeys)
+
+    # default off: no watch keys in the metrics dict
+    trainer2, _ = make_trainer(tmp_path / "nowatch", ["train=pretrain_txt"])
+    state2 = trainer2.init_state(batch)
+    step2 = trainer2.make_train_step()
+    _, metrics2 = step2(state2, batch, jnp.asarray(0.0))
+    assert not any(k.startswith("watch_") for k in metrics2)
+
+
 def test_checkpoint_roundtrip_and_policy(tmp_path):
     from exploremultimodal_tpu.train import checkpoints as ckpt_lib
 
