@@ -194,6 +194,8 @@ def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
             # the reference-default scenario for the in-kernel-dropout A/B
             f"model.attn_drop_rate={os.environ.get('BENCH_ATTN_DROP', '0.0')}",
             f"attn_impl={os.environ.get('BENCH_ATTN', 'recompute')}",
+            # BENCH_REMAT: false (default) | true | dots (selective policy)
+            f"parallel.remat={os.environ.get('BENCH_REMAT', 'false')}",
             "train.warmup_steps=2",
             "exp_dir=/tmp/emm_bench",
             "log_level=error",

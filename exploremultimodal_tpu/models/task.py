@@ -70,7 +70,7 @@ class VlmoConfig:
     # compute
     dtype_name: str = "float32"
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: bool | str = False
 
     @property
     def dtype(self):
@@ -109,7 +109,9 @@ class VlmoConfig:
             mim_gather_cap=float(t.get("mim_gather_cap", 0.4)),
             dtype_name=cfg.get("compute_dtype", "float32"),
             attn_impl=cfg.get("attn_impl", "xla"),
-            remat=bool(cfg.select("parallel.remat", False)),
+            # false | true | 'dots' (selective save-dots policy)
+            remat=(lambda r: r if isinstance(r, str) else bool(r))(
+                cfg.select("parallel.remat", False)),
         )
 
 

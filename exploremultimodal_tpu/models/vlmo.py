@@ -303,7 +303,7 @@ class VLMO(nn.Module):
     experts_per_block: tuple[tuple[str, ...], ...] | None = None
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: bool | str = False
 
     @property
     def num_patches(self) -> int:
@@ -343,11 +343,23 @@ class VLMO(nn.Module):
         import numpy as np
 
         dpr = [float(x) for x in np.linspace(0.0, self.drop_path_rate, self.depth)]
-        # rematerialization: recompute block activations in backward instead
-        # of storing them (jax.checkpoint) — the FSDP preset's memory lever
-        block_cls = (
-            nn.remat(Block, static_argnums=(3, 4)) if self.remat else Block
-        )
+        # rematerialization (jax.checkpoint over each block):
+        #   true   — save only block inputs, recompute everything in the
+        #            backward (the FSDP preset's memory lever)
+        #   'dots' — selective: save matmul outputs, recompute only the
+        #            elementwise chains (LN/GELU/dropout-apply) in the
+        #            backward — trades cheap VPU recompute for not storing
+        #            the (B, N, 4·D) MLP hiddens between fwd and bwd
+        if self.remat == "dots":
+            block_cls = nn.remat(
+                Block,
+                static_argnums=(3, 4),
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        elif self.remat:
+            block_cls = nn.remat(Block, static_argnums=(3, 4))
+        else:
+            block_cls = Block
         self.blocks = [
             block_cls(
                 dim=self.embed_dim,

@@ -5,24 +5,31 @@ scores = q @ kᵀ · scale, additive −inf at masked KEY positions (key-padding
 mask broadcast over heads and query positions), softmax, optional attention
 dropout, weighted sum of v. Softmax runs in fp32 regardless of compute dtype.
 
-Three implementations behind one signature (round-2 e2e numbers: BENCH.md —
-full VLMo-Base pretrain step at batch 32):
-  'recompute' — DEFAULT: the XLA einsum chain wrapped in jax.checkpoint, so
-                the backward re-derives the (B, H, N, N) probabilities
-                instead of storing them. 207 ms/step, trains batch 64
-                on-chip, supports attention dropout — the robust default.
+Four implementations behind one signature (e2e numbers: BENCH.md — full
+VLMo-Base pretrain step at batch 32):
+  'auto'      — DEFAULT: picks by the measured A/Bs — 'pallas' while
+                attention dropout is active (in-kernel mask regeneration
+                keeps flash memory behavior: +13% e2e at attn_drop=0.1,
+                BENCH.md round 3), 'recompute' otherwise (fastest at
+                attn_drop=0: 209 vs 272 ms).
+  'recompute' — the XLA einsum chain wrapped in jax.checkpoint, so the
+                backward re-derives the (B, H, N, N) probabilities instead
+                of storing them. 209 ms/step at attn_drop=0, trains batch
+                64 on-chip; at attn_drop>0 it pays a materialized
+                (B, H, N, N) mask pipeline in fwd AND recomputed bwd.
   'xla'       — plain chain (stores probs for backward). Slightly faster at
                 batch 32 (204 ms, no bwd recompute) but OOMs at batch 64
                 even with bf16-stored scores.
   'pallas'    — hand-written TPU kernels (ops/flash_attention.py): full-row
                 fused forward + true flash BACKWARD (dq/dk/dv from five MXU
                 matmuls per head, probabilities reconstituted from the saved
-                logsumexp) ≤512 tokens; full-row forward with recompute
-                backward to 4096; k-blocked online-softmax beyond. 268
-                ms/step e2e — the per-program overhead of many small-grid
-                kernels loses to XLA's batched fusions at VLMo shapes. No
-                dropout support (falls back to 'recompute' when dropout is
-                active in training).
+                logsumexp) ≤512 tokens, with OPTIONAL in-kernel attention
+                dropout (counter-hash keep-mask regenerated in the backward
+                — no mask ever reaches HBM); full-row forward with recompute
+                backward to 4096; k-blocked online-softmax beyond. At
+                attn_drop=0 the per-program overhead of many small-grid
+                kernels loses to XLA's batched fusions (272 vs 209 ms); at
+                attn_drop=0.1 it WINS (272 vs 309 ms) — hence 'auto'.
 """
 
 from __future__ import annotations
@@ -62,6 +69,11 @@ def multi_head_attention(
         scale = q.shape[-1] ** -0.5
 
     use_dropout = dropout_rate > 0.0 and not deterministic
+    if impl == "auto":
+        # measured policy (BENCH.md round 3): the flash kernels' in-kernel
+        # dropout beats XLA's materialized mask pipeline whenever attention
+        # dropout is live; with dropout off, XLA recompute is fastest
+        impl = "pallas" if use_dropout else "recompute"
     if impl == "pallas" and q.shape[-2] == k.shape[-2]:
         from exploremultimodal_tpu.ops import flash_attention as fa
 

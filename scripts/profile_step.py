@@ -128,8 +128,9 @@ def main() -> None:
         "data.num_workers=4",
         "train.discrete_vae_type=random",
         "compute_dtype=bfloat16",
-        "model.attn_drop_rate=0.0",
+        f"model.attn_drop_rate={os.environ.get('BENCH_ATTN_DROP', '0.0')}",
         f"attn_impl={os.environ.get('BENCH_ATTN', 'recompute')}",
+        f"parallel.remat={os.environ.get('BENCH_REMAT', 'false')}",
         "train.warmup_steps=2",
         "exp_dir=/tmp/emm_profile",
         "log_level=error",

@@ -50,7 +50,9 @@ def test_dryrun_multichip_driver_style():
         env=env,
         capture_output=True,
         text=True,
-        timeout=900,
+        # 4 preset train-step compiles on an 8-device virtual mesh: ~8-16
+        # min cold on a 1-core VM (cached compiles pass in ~2 min)
+        timeout=1800,
     )
     assert res.returncode == 0, f"stdout={res.stdout}\nstderr={res.stderr}"
     assert "dryrun_multichip OK" in res.stdout + res.stderr

@@ -241,6 +241,32 @@ def test_in_kernel_dropout_statistics_and_gating():
     assert abs(np.asarray(c).mean() - np.asarray(a).mean()) < 0.1
 
 
+def test_auto_impl_dispatch():
+    """'auto' (the config default) = recompute when attention dropout is
+    inactive (bit-identical), = the pallas in-kernel-dropout path when it is
+    live (bit-identical to explicit impl='pallas' at the same seed) —
+    the measured policy from the BENCH.md round-3 A/Bs."""
+    rng = np.random.default_rng(5)
+    q, k, v = _rand_qkv(rng, B=1, H=2, N=64, D=32)
+
+    a = multi_head_attention(q, k, v, impl="auto")
+    r = multi_head_attention(q, k, v, impl="recompute")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+
+    key = jax.random.key(3)
+    a_drop = multi_head_attention(q, k, v, impl="auto", dropout_rate=0.3,
+                                  dropout_rng=key, deterministic=False)
+    p_drop = multi_head_attention(q, k, v, impl="pallas", dropout_rate=0.3,
+                                  dropout_rng=key, deterministic=False)
+    np.testing.assert_array_equal(np.asarray(a_drop), np.asarray(p_drop))
+    assert not np.allclose(np.asarray(a_drop), np.asarray(a))
+
+    # deterministic (eval) with a configured dropout rate stays on recompute
+    a_eval = multi_head_attention(q, k, v, impl="auto", dropout_rate=0.3,
+                                  dropout_rng=key, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a_eval), np.asarray(r))
+
+
 def test_fast_dropout_semantics():
     """FastDropout = nn.Dropout semantics with an integer-threshold mask."""
     from exploremultimodal_tpu.ops import FastDropout

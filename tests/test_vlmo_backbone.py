@@ -63,6 +63,41 @@ def test_three_stream_shapes():
     assert np.all(np.abs(np.asarray(pooled)) <= 1.0)  # tanh
 
 
+@pytest.mark.parametrize("mode", [True, "dots"])
+def test_remat_modes_match_no_remat(mode):
+    """remat=true (whole-block) and remat='dots' (selective save-dots
+    policy) are pure memory/scheduling levers: identical forward values AND
+    gradients vs no remat."""
+    img = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 32, 3)), jnp.float32
+    )
+    txt = jnp.asarray(
+        np.random.default_rng(1).integers(0, 100, (2, 12)), jnp.int32
+    )
+    mask = jnp.ones((2, 12), jnp.int32)
+
+    base = tiny_vlmo()
+    variables = _init(base)
+
+    def loss_fn(model):
+        def f(params):
+            feats, _ = model.apply(
+                {"params": params}, img=img, txt=txt, txt_mask=mask,
+                method=VLMO.forward_features,
+            )
+            return jnp.sum(feats ** 2)
+        return f
+
+    ref_val, ref_grads = jax.value_and_grad(loss_fn(base))(variables["params"])
+    rem_val, rem_grads = jax.value_and_grad(loss_fn(tiny_vlmo(remat=mode)))(
+        variables["params"]
+    )
+    np.testing.assert_allclose(float(ref_val), float(rem_val), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(rem_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-6)
+
+
 def test_padded_text_tokens_do_not_leak():
     """Changing token ids at masked (padding) positions must not change
     features at valid positions — the additive −inf key mask semantics."""
