@@ -359,7 +359,33 @@ def bench_bert_mlm(batch_size: int, n_warmup: int, n_iters: int) -> dict:
     }
 
 
+def _arm_watchdog() -> None:
+    """Hard wall-clock limit (BENCH_TIMEOUT_S, default 2h): if the tunneled
+    TPU backend wedges mid-run (observed: jax.devices()/execution blocking
+    indefinitely after a tunnel outage), emit a machine-readable error line
+    instead of hanging the driver forever."""
+    import threading
+
+    limit = float(os.environ.get("BENCH_TIMEOUT_S", "7200"))
+
+    def _abort():
+        print(json.dumps({
+            "metric": "error",
+            "value": 0,
+            "unit": "",
+            "vs_baseline": 0,
+            "detail": {"error": f"bench watchdog: exceeded {limit:.0f}s "
+                                "(TPU tunnel hang?)"},
+        }), flush=True)
+        os._exit(75)  # EX_TEMPFAIL
+
+    t = threading.Timer(limit, _abort)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
+    _arm_watchdog()
     _setup_cache()
     mode = os.environ.get("BENCH_MODE", "vlmo_pretrain")
     batch_env = os.environ.get("BENCH_BATCH")
