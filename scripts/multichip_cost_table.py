@@ -138,18 +138,18 @@ def analyze(preset: str) -> dict:
 
 
 def main() -> None:
-    import jax
-
-    if os.environ.get("_EMM_COST_CHILD"):
-        jax.config.update("jax_platforms", "cpu")
-    if len(jax.devices()) < N_DEVICES:
-        if os.environ.get("_EMM_COST_CHILD"):
-            raise RuntimeError("virtual CPU mesh provisioning failed")
+    if not os.environ.get("_EMM_COST_CHILD"):
+        # Self-provision the fake 8-device CPU mesh in a subprocess WITHOUT
+        # initializing a backend here: probing jax.devices() in the parent
+        # would initialize the tunneled TPU plugin, which blocks forever if
+        # the tunnel is down — and this analysis is compile-only/CPU by
+        # design. Clearing PALLAS_AXON_POOL_IPS skips plugin registration.
         import subprocess
 
         env = dict(os.environ)
         env["_EMM_COST_CHILD"] = "1"
         env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""
         env["XLA_FLAGS"] = (
             env.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={N_DEVICES}"
@@ -158,6 +158,12 @@ def main() -> None:
             [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
             env=env, cwd=REPO,
         ).returncode)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if len(jax.devices()) < N_DEVICES:
+        raise RuntimeError("virtual CPU mesh provisioning failed")
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("EMM_JAX_CACHE", "/tmp/emm_jax_cache"))
