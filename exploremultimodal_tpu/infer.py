@@ -1,0 +1,245 @@
+"""Deployment inference API over a trained VLMo checkpoint.
+
+The reference is training-centric; its eval logic lives inside the phase
+drivers (retrieval ranking `models/vlmo/objectives.py:946-984`, VQA test
+submission `train/finetune/vqa.py`). This module repackages those exact
+compute paths as jitted, fixed-shape serving endpoints:
+
+  - ``encode_image`` / ``encode_text`` — the unit-norm ITC projections the
+    contrastive loss ranks with (objectives.py:81-236): build a retrieval
+    index offline, embed queries online.
+  - ``similarity`` — temperature-scaled cosine scores (the ITC eval matrix).
+  - ``itm_score`` — fused-stream image-text matching probability, the
+    reranker the reference applies on top of ITC shortlists.
+  - ``vqa`` — answer strings via the 3129-way VQA head + answer vocab.
+
+Serving shape discipline (TPU-first): every endpoint pads its batch to a
+power-of-two bucket (≤ ``max_batch``) so each bucket traces/compiles exactly
+once; results are sliced back to the true length. Weights load from either
+an orbax checkpoint directory or a reference torch ``.pth`` (local path or
+https URL — the same importer/remapper the trainer resume path uses).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exploremultimodal_tpu.models.task import VlmoTask, build_model
+from exploremultimodal_tpu.ops.preprocess import normalize_image
+
+
+def _next_bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return min(max(b, 1), max(max_batch, n))
+
+
+def _pad_to(x: np.ndarray, b: int) -> np.ndarray:
+    if x.shape[0] == b:
+        return x
+    pad = [(0, b - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad, mode="edge")
+
+
+# --------------------------------------------------------------- endpoints
+# plain functions over the flax module so jax.jit caches cleanly per shape
+
+
+def _encode_image_fn(task: VlmoTask, img_u8):
+    img = normalize_image(img_u8, task.config.dtype)
+    h = task.stream_below_fusion(img=img)
+    feats = task.continue_single_stream(h, None, "v")
+    return task.itc_project(feats[:, 0], "v").astype(jnp.float32)
+
+
+def _encode_text_fn(task: VlmoTask, ids, mask):
+    h = task.stream_below_fusion(txt=ids, txt_mask=mask)
+    feats = task.continue_single_stream(h, mask, "l")
+    return task.itc_project(feats[:, 0], "l").astype(jnp.float32)
+
+
+def _itm_fn(task: VlmoTask, img_u8, ids, mask):
+    batch = {
+        "image": normalize_image(img_u8, task.config.dtype),
+        "text_ids": ids,
+        "text_mask": mask,
+    }
+    infer = task.infer(batch, infer_mode="img-txt", deterministic=True)
+    logits = task.itm_logits(infer["cls_feats"])
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+
+
+def _vqa_fn(task: VlmoTask, img_u8, ids, mask):
+    batch = {
+        "image": normalize_image(img_u8, task.config.dtype),
+        "text_ids": ids,
+        "text_mask": mask,
+    }
+    infer = task.infer(batch, infer_mode="img-txt", deterministic=True)
+    return task.vqa_logits(infer["cls_feats"]).astype(jnp.float32)
+
+
+class Predictor:
+    """Jitted serving endpoints over one set of trained weights."""
+
+    def __init__(self, cfg: Any, params: Any, max_batch: int = 64):
+        self.cfg = cfg
+        self.task = build_model(cfg)
+        self.variables = {"params": params}
+        self.max_batch = int(max_batch)
+        self._jitted: dict[tuple, Any] = {}
+        self._tokenizer = None
+        self._vqa_vocab = None
+
+    # ------------------------------------------------------------ loading
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        checkpoint: str,
+        overrides: Sequence[str] = (),
+        max_batch: int = 64,
+    ) -> "Predictor":
+        """`checkpoint`: orbax checkpoint dir, torch .pth/.pt path, or a
+        file://-https:// URL of either. `overrides` must select the matching
+        model/train groups (e.g. ["model=vlmo_base", "train=finetune_vqa"] —
+        the train phase decides which heads exist, as in training)."""
+        from flax import serialization
+
+        from exploremultimodal_tpu.config import load_config
+        from exploremultimodal_tpu.train import checkpoints as ckpt_lib
+
+        cfg = load_config(list(overrides))
+        task = build_model(cfg)
+        c = task.config
+        dummy = {
+            "image": jnp.zeros((1, c.img_size, c.img_size, 3), jnp.float32),
+            "text_ids": jnp.zeros((1, c.max_text_len), jnp.int32),
+            "text_mask": jnp.ones((1, c.max_text_len), jnp.int32),
+        }
+        variables = task.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            dummy, method=VlmoTask.init_inference,
+        )
+        params = variables["params"]
+
+        path = checkpoint
+        if path.startswith(("http://", "https://", "file://")):
+            path = ckpt_lib._fetch_url_checkpoint(path)
+        if path.endswith((".pth", ".pt", ".ckpt")) or (
+            not os.path.isdir(path) and ckpt_lib._is_torch_file(path)
+        ):
+            from exploremultimodal_tpu.models.import_torch import (
+                import_torch_state,
+                load_torch_checkpoint,
+            )
+
+            sd = load_torch_checkpoint(path)
+            params, _, _ = import_torch_state(sd, params, cfg)
+        else:
+            import orbax.checkpoint as ocp
+
+            raw = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+            src = raw.get("params", raw)
+            params = serialization.from_state_dict(params, src)
+        return cls(cfg, params, max_batch=max_batch)
+
+    # ------------------------------------------------------- host helpers
+
+    @property
+    def tokenizer(self):
+        if self._tokenizer is None:
+            from exploremultimodal_tpu.data.tokenization import get_tokenizer
+
+            d = self.cfg.data
+            self._tokenizer = get_tokenizer(
+                d.tokenizer, d.get("tokenizer_dir")
+            )
+        return self._tokenizer
+
+    def tokenize(self, texts: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
+        enc = self.tokenizer(
+            list(texts),
+            padding="max_length",
+            truncation=True,
+            max_length=self.task.config.max_text_len,
+            return_tensors="np",
+        )
+        return (enc["input_ids"].astype(np.int32),
+                enc["attention_mask"].astype(np.int32))
+
+    def preprocess_images(self, images) -> np.ndarray:
+        """PIL images (any size) → uint8 (N, S, S, 3) via the eval transform
+        (resize + center crop, bicubic — transforms.EvalTransform)."""
+        from exploremultimodal_tpu.data.transforms import EvalTransform
+
+        t = EvalTransform(self.task.config.img_size)
+        return np.stack([np.asarray(t(im)) for im in images])
+
+    def _images_array(self, images) -> np.ndarray:
+        if isinstance(images, np.ndarray):
+            if images.dtype != np.uint8:
+                raise ValueError(
+                    "pass uint8 NHWC images (use preprocess_images for PIL)"
+                )
+            return images
+        return self.preprocess_images(images)
+
+    def _run(self, key: str, fn, n: int, *arrays: np.ndarray):
+        b = _next_bucket(n, self.max_batch)
+        padded = [_pad_to(a, b) for a in arrays]
+        jit_key = (key, b)
+        if jit_key not in self._jitted:
+            self._jitted[jit_key] = jax.jit(
+                lambda v, *xs: self.task.apply(v, *xs, method=fn)
+            )
+        out = self._jitted[jit_key](self.variables, *padded)
+        return np.asarray(out)[:n]
+
+    # ---------------------------------------------------------- endpoints
+
+    def encode_image(self, images) -> np.ndarray:
+        """→ (N, itc_dim) unit-norm image embeddings."""
+        img = self._images_array(images)
+        return self._run("img", _encode_image_fn, len(img), img)
+
+    def encode_text(self, texts: Sequence[str]) -> np.ndarray:
+        """→ (N, itc_dim) unit-norm text embeddings."""
+        ids, mask = self.tokenize(texts)
+        return self._run("txt", _encode_text_fn, len(ids), ids, mask)
+
+    def similarity(self, img_emb: np.ndarray, txt_emb: np.ndarray) -> np.ndarray:
+        """Temperature-scaled cosine scores, (N_img, N_txt) — the ITC eval
+        matrix (objectives.py itc ranking)."""
+        p = self.variables["params"]
+        temp = float(np.exp(np.asarray(p["itc_temp"], np.float32))) \
+            if "itc_temp" in p else 1.0 / float(self.task.config.itc_temp)
+        return (img_emb @ txt_emb.T) * temp
+
+    def itm_score(self, images, texts: Sequence[str]) -> np.ndarray:
+        """Matching probability for PAIRED (image_i, text_i) — the fused
+        ITM rerank head."""
+        img = self._images_array(images)
+        ids, mask = self.tokenize(texts)
+        if len(img) != len(ids):
+            raise ValueError("itm_score expects paired images/texts")
+        return self._run("itm", _itm_fn, len(img), img, ids, mask)
+
+    def vqa(self, images, questions: Sequence[str]) -> list[str]:
+        """Answer strings for paired (image_i, question_i) — finetune_vqa
+        submission semantics (argmax over the 3129-way head)."""
+        from exploremultimodal_tpu.data.vqa_vocab import load_or_build_vqa_vocab
+
+        img = self._images_array(images)
+        ids, mask = self.tokenize(questions)
+        logits = self._run("vqa", _vqa_fn, len(img), img, ids, mask)
+        if self._vqa_vocab is None:
+            self._vqa_vocab = load_or_build_vqa_vocab()
+        id2ans = self._vqa_vocab["id2answer"]
+        return [id2ans[int(i)] for i in logits.argmax(axis=-1)]

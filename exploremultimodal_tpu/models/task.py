@@ -409,6 +409,46 @@ class VlmoTask(nn.Module):
             ret.update(obj.compute_imgcls(self, batch, deterministic))
         return ret
 
+    def init_inference(self, batch: dict) -> dict:
+        """Init every route + head from an INFERENCE batch (image/text_ids/
+        text_mask only — no training loss fields). The serving path
+        (infer.py Predictor) uses this so loading a checkpoint never
+        requires constructing MLM labels, masks, or dVAE targets."""
+        c = self.config
+        self.transformer.init_streams(
+            batch["image"], batch["text_ids"], batch["text_mask"]
+        )
+        B = batch["image"].shape[0]
+        cls = jnp.zeros((B, c.embed_dim), c.dtype)
+        seq = jnp.zeros((B, 1, c.embed_dim), c.dtype)
+        out: dict = {}
+        names = c.loss_names
+        if "mlm" in names:
+            out["mlm"] = self.mlm_logits(seq)
+        if "itc" in names:
+            out["itc_v"] = self.itc_project(cls, "v")
+            out["itc_l"] = self.itc_project(cls, "l")
+        if "itm" in names:
+            out["itm"] = self.itm_logits(cls)
+        if "mim" in names:
+            out["mim"] = self.mim_logits(seq)
+        if "mpp" in names:
+            out["mpp"] = self.mpp_logits(seq)
+        if "mae" in names:
+            out["mae"] = self.mae_logits(seq)
+        if "vqa" in names:
+            out["vqa"] = self.vqa_logits(cls)
+        if "nlvr2" in names:
+            # the nlvr2 head sees the CONCATENATED two-image cls feats
+            out["nlvr2"] = self.nlvr2_logits(
+                jnp.zeros((B, 2 * c.embed_dim), c.dtype)
+            )
+        if "irtr" in names:
+            out["irtr"] = self.rank_logits(cls)
+        if "imgcls" in names:
+            out["imgcls"] = self.imgcls_logits(cls)
+        return out
+
     def init_streams(self, batch: dict) -> dict:
         """Init helper touching every route + head the config needs. Text-only
         phases still initialize the 'v' experts (the reference keeps them,

@@ -1,0 +1,125 @@
+"""Serving API (exploremultimodal_tpu/infer.py): jitted fixed-bucket
+endpoints over trained weights — ITC embeddings, ITM rerank, VQA answers —
+matching the training-time eval compute paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exploremultimodal_tpu.config import load_config
+from exploremultimodal_tpu.infer import Predictor, _next_bucket
+
+TINY = [
+    "model=vlmo_debug",
+    "model.img_size=32",
+    "model.embed_dim=32",
+    "model.num_heads=2",
+    "model.max_text_len=12",
+    "model.drop_rate=0.0",
+    "model.attn_drop_rate=0.0",
+    "model.drop_path_rate=0.0",
+    "compute_dtype=float32",
+    "attn_impl=xla",
+]
+
+
+def _predictor(extra=()):
+    from exploremultimodal_tpu.models.task import VlmoTask, build_model
+
+    cfg = load_config(TINY + list(extra))
+    task = build_model(cfg)
+    dummy = {
+        "image": jnp.zeros((1, 32, 32, 3), jnp.float32),
+        "text_ids": jnp.zeros((1, 12), jnp.int32),
+        "text_mask": jnp.ones((1, 12), jnp.int32),
+    }
+    variables = task.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        dummy, method=VlmoTask.init_inference,
+    )
+    return Predictor(cfg, variables["params"], max_batch=8)
+
+
+def test_bucket_helper():
+    assert [_next_bucket(n, 8) for n in (1, 2, 3, 5, 8)] == [1, 2, 4, 8, 8]
+    assert _next_bucket(11, 8) == 11  # never truncates past max_batch
+
+
+def test_encode_unit_norm_and_padding_invariance():
+    pred = _predictor(["train=pretrain_mum"])
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (3, 32, 32, 3), dtype=np.uint8)
+
+    emb3 = pred.encode_image(imgs)          # bucket 4 (padded)
+    assert emb3.shape[0] == 3
+    np.testing.assert_allclose(np.linalg.norm(emb3, axis=-1), 1.0, rtol=1e-5)
+
+    emb1 = pred.encode_image(imgs[:1])      # bucket 1 — different padding
+    np.testing.assert_allclose(emb3[0], emb1[0], rtol=1e-5, atol=1e-6)
+
+    texts = ["a dog on a beach", "two cats", "a red bus"]
+    temb = pred.encode_text(texts)
+    assert temb.shape[0] == 3
+    np.testing.assert_allclose(np.linalg.norm(temb, axis=-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(
+        pred.encode_text(texts[:1])[0], temb[0], rtol=1e-5, atol=1e-6
+    )
+
+    sims = pred.similarity(emb3, temb)
+    assert sims.shape == (3, 3) and np.all(np.isfinite(sims))
+
+
+def test_itm_scores_paired():
+    pred = _predictor(["train=pretrain_mum"])
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, (3, 32, 32, 3), dtype=np.uint8)
+    scores = pred.itm_score(imgs, ["a", "b", "c"])
+    assert scores.shape == (3,)
+    assert np.all((scores >= 0) & (scores <= 1))
+    with pytest.raises(ValueError):
+        pred.itm_score(imgs, ["a", "b"])
+
+
+def test_vqa_answers_are_vocab_strings():
+    pred = _predictor(["train=finetune_vqa"])
+    rng = np.random.default_rng(2)
+    imgs = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    answers = pred.vqa(imgs, ["what color is it?", "how many dogs?"])
+    assert len(answers) == 2 and all(isinstance(a, str) and a for a in answers)
+
+
+def test_from_checkpoint_orbax_roundtrip(tmp_path):
+    """Weights trained+saved by the trainer load into a Predictor with
+    identical endpoint outputs."""
+    from exploremultimodal_tpu.train import checkpoints as ckpt_lib
+    from exploremultimodal_tpu.train.trainer import Trainer
+
+    cfg = load_config(TINY + [
+        "train=pretrain_mum", "train.datasets=[synthetic]",
+        "train.discrete_vae_type=random",
+        "data.batch_size=4", "data.synthetic_size=8", "data.num_workers=1",
+        "data.num_mask_patches=2", "data.min_mask_patches_per_block=1",
+        "train.warmup_steps=1", "train.epochs=1",
+        f"exp_dir={tmp_path}",
+    ])
+    trainer = Trainer(cfg)
+    loader = trainer.data.train_loader()
+    state = trainer.init_state(next(iter(loader)))
+    batch = next(iter(trainer.feeder(iter(loader))))
+    step = trainer.make_train_step()
+    state, _ = step(state, batch, jnp.asarray(0.0))
+    ckpt_lib.save(str(tmp_path), state, cfg, epoch=0)
+
+    pred = Predictor.from_checkpoint(
+        str(tmp_path / "checkpoint-0"),
+        overrides=TINY + ["train=pretrain_mum"],
+        max_batch=8,
+    )
+    for a, b in zip(jax.tree.leaves(pred.variables["params"]),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    imgs = np.zeros((2, 32, 32, 3), np.uint8)
+    emb = pred.encode_image(imgs)
+    assert emb.shape[0] == 2 and np.all(np.isfinite(emb))
