@@ -88,14 +88,28 @@ def _vqa_fn(task: VlmoTask, img_u8, ids, mask):
 class Predictor:
     """Jitted serving endpoints over one set of trained weights."""
 
-    def __init__(self, cfg: Any, params: Any, max_batch: int = 64):
+    def __init__(self, cfg: Any, params: Any, max_batch: int = 64,
+                 mesh: Any = None):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis for
+        multi-chip data-parallel serving — params are replicated, each
+        endpoint's batch is sharded over the data axis, and buckets round up
+        to a multiple of the axis size so shards stay equal."""
         self.cfg = cfg
         self.task = build_model(cfg)
-        self.variables = {"params": params}
+        self.mesh = mesh
         self.max_batch = int(max_batch)
         self._jitted: dict[tuple, Any] = {}
         self._tokenizer = None
         self._vqa_vocab = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            replicated = NamedSharding(mesh, P())
+            params = jax.device_put(params, replicated)
+        else:
+            self._batch_sharding = None
+        self.variables = {"params": params}
 
     # ------------------------------------------------------------ loading
 
@@ -193,7 +207,14 @@ class Predictor:
 
     def _run(self, key: str, fn, n: int, *arrays: np.ndarray):
         b = _next_bucket(n, self.max_batch)
+        if self.mesh is not None:
+            d = self.mesh.shape["data"]
+            b = ((b + d - 1) // d) * d  # equal shards over the data axis
         padded = [_pad_to(a, b) for a in arrays]
+        if self._batch_sharding is not None:
+            # committed shardings: batch split over 'data', params already
+            # replicated (device_put in __init__) — jit inherits both
+            padded = [jax.device_put(a, self._batch_sharding) for a in padded]
         jit_key = (key, b)
         if jit_key not in self._jitted:
             self._jitted[jit_key] = jax.jit(

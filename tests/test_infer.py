@@ -89,6 +89,37 @@ def test_vqa_answers_are_vocab_strings():
     assert len(answers) == 2 and all(isinstance(a, str) and a for a in answers)
 
 
+def test_mesh_data_parallel_serving(eight_devices):
+    """Multi-chip serving: params replicated, endpoint batches sharded over
+    the 'data' axis; results identical to single-device serving."""
+    from jax.sharding import Mesh
+
+    from exploremultimodal_tpu.models.task import VlmoTask, build_model
+
+    cfg = load_config(TINY + ["train=pretrain_mum"])
+    task = build_model(cfg)
+    dummy = {
+        "image": jnp.zeros((1, 32, 32, 3), jnp.float32),
+        "text_ids": jnp.zeros((1, 12), jnp.int32),
+        "text_mask": jnp.ones((1, 12), jnp.int32),
+    }
+    params = task.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        dummy, method=VlmoTask.init_inference,
+    )["params"]
+
+    mesh = Mesh(np.asarray(eight_devices), ("data",))
+    sharded = Predictor(cfg, params, max_batch=16, mesh=mesh)
+    single = Predictor(cfg, params, max_batch=16)
+
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 255, (5, 32, 32, 3), dtype=np.uint8)  # pads to 8
+    a = sharded.encode_image(imgs)
+    b = single.encode_image(imgs)
+    assert a.shape == (5, np.asarray(b).shape[1])
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+
+
 def test_from_checkpoint_orbax_roundtrip(tmp_path):
     """Weights trained+saved by the trainer load into a Predictor with
     identical endpoint outputs."""
