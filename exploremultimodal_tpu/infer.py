@@ -75,6 +75,22 @@ def _itm_fn(task: VlmoTask, img_u8, ids, mask):
     return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
 
 
+def _nlvr2_fn(task: VlmoTask, img0_u8, img1_u8, ids, mask):
+    batch = {
+        "image_0": normalize_image(img0_u8, task.config.dtype),
+        "image_1": normalize_image(img1_u8, task.config.dtype),
+        "text_ids": ids,
+        "text_mask": mask,
+    }
+    infer1 = task.infer(batch, infer_mode="img-txt", image_token_type_idx=1,
+                        deterministic=True)
+    infer2 = task.infer(batch, infer_mode="img-txt", image_token_type_idx=2,
+                        deterministic=True)
+    cls = jnp.concatenate([infer1["cls_feats"], infer2["cls_feats"]], axis=-1)
+    logits = task.nlvr2_logits(cls)
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+
+
 def _vqa_fn(task: VlmoTask, img_u8, ids, mask):
     batch = {
         "image": normalize_image(img_u8, task.config.dtype),
@@ -251,6 +267,18 @@ class Predictor:
         if len(img) != len(ids):
             raise ValueError("itm_score expects paired images/texts")
         return self._run("itm", _itm_fn, len(img), img, ids, mask)
+
+    def nlvr2(self, images_left, images_right,
+              statements: Sequence[str]) -> np.ndarray:
+        """P(statement is True of the image pair) — the two fused forwards
+        with image token types 1/2 + concatenated CLS, exactly the
+        compute_nlvr2 eval path (objectives.py:885-943)."""
+        img0 = self._images_array(images_left)
+        img1 = self._images_array(images_right)
+        ids, mask = self.tokenize(statements)
+        if not (len(img0) == len(img1) == len(ids)):
+            raise ValueError("nlvr2 expects paired left/right images + text")
+        return self._run("nlvr2", _nlvr2_fn, len(ids), img0, img1, ids, mask)
 
     def vqa(self, images, questions: Sequence[str]) -> list[str]:
         """Answer strings for paired (image_i, question_i) — finetune_vqa

@@ -81,6 +81,19 @@ def test_itm_scores_paired():
         pred.itm_score(imgs, ["a", "b"])
 
 
+def test_nlvr2_pair_probabilities():
+    pred = _predictor(["train=finetune_nlvr2"])
+    rng = np.random.default_rng(3)
+    left = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    right = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    probs = pred.nlvr2(left, right, ["the left image has a dog"] * 2)
+    assert probs.shape == (2,)
+    assert np.all((probs >= 0) & (probs <= 1))
+    # order of the pair matters (token types 1/2 are distinct)
+    swapped = pred.nlvr2(right, left, ["the left image has a dog"] * 2)
+    assert not np.allclose(probs, swapped)
+
+
 def test_vqa_answers_are_vocab_strings():
     pred = _predictor(["train=finetune_vqa"])
     rng = np.random.default_rng(2)
