@@ -43,6 +43,18 @@ def initialize_runtime(cfg: Any) -> None:
     impl = rt.get("prng_impl")
     if impl:
         jax.config.update("jax_default_prng_impl", impl)
+    # Global host-RNG seeding, per process AND per call (reference
+    # main.py:88-92: seed = cfg.seed + rank → torch/np/random). JAX device
+    # RNG is keyed explicitly everywhere, but the HOST data path is not:
+    # the HF MLM collators (DataCollatorForWholeWordMask) draw from the
+    # global numpy/python RNG, so without this the masking stream depends
+    # on whatever ran earlier in the process. Not gated behind the
+    # idempotence flag: every Trainer construction restarts the stream.
+    import random as _py_random
+
+    seed = int(cfg.get("seed", 0)) + jax.process_index()
+    _py_random.seed(seed)
+    np.random.seed(seed % (2 ** 32))
     if _runtime_initialized:
         return
     if rt.get("coordinator_address"):

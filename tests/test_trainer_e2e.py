@@ -70,6 +70,29 @@ def test_pretrain_mum_all_losses_step(tmp_path):
     assert float(metrics["grad_norm"]) > 0
 
 
+def test_host_rng_seeded_per_trainer(tmp_path):
+    """The HF MLM collators draw from the GLOBAL numpy/python RNG; trainer
+    construction must reseed it (reference main.py seed block) so the mask
+    stream is independent of whatever ran earlier in the process."""
+    trainer1, _ = make_trainer(tmp_path / "a", ["train=pretrain_txt"])
+    batch1 = next(iter(trainer1.data.train_loader()))
+
+    # perturb the global host RNG the way unrelated earlier code would
+    np.random.random(12345)
+    import random as py_random
+    py_random.random()
+
+    trainer2, _ = make_trainer(tmp_path / "b", ["train=pretrain_txt"])
+    batch2 = next(iter(trainer2.data.train_loader()))
+    np.testing.assert_array_equal(
+        np.asarray(batch1["text_ids_mlm"]), np.asarray(batch2["text_ids_mlm"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(batch1["text_labels_mlm"]),
+        np.asarray(batch2["text_labels_mlm"]),
+    )
+
+
 def test_wandb_watch_param_grad_norms(tmp_path):
     """wandb.watch(log='all') equivalent (reference pretrain/multimodal.py
     wandb_logger.watch): with wandb.watch=true the jitted step emits
@@ -324,7 +347,7 @@ def test_pretrain_on_arrow_data_loss_decreases(tmp_path):
     train_step = trainer.make_train_step()
 
     epoch_means = []
-    for epoch in range(2):
+    for epoch in range(4):
         losses = []
         for batch in trainer.feeder(iter(loader)):
             state, metrics = train_step(state, batch, jnp.asarray(float(epoch)))
@@ -332,7 +355,9 @@ def test_pretrain_on_arrow_data_loss_decreases(tmp_path):
         assert len(losses) == 2  # 8 rows / batch 4
         assert all(np.isfinite(l) for l in losses)
         epoch_means.append(float(np.mean(losses)))
-    assert epoch_means[1] < epoch_means[0], epoch_means
+    # per-epoch MLM masks are redrawn (HF collator), so adjacent epochs are
+    # noisy — compare the last epoch against the first
+    assert epoch_means[-1] < epoch_means[0], epoch_means
 
 
 def test_finetune_vis_imgcls_e2e(tmp_path):
