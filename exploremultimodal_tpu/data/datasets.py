@@ -138,7 +138,11 @@ class ImageTextArrowDataset:
             sample["text_ids"] = ids[0]
             sample["text_mask"] = mask[0]
             if self.mlm_collator is not None:
-                ids_mlm, labels = self.mlm_collator(ids)
+                # per-sample seed: thread-safe deterministic masks (the HF
+                # collator otherwise consumes the process-global RNG)
+                ids_mlm, labels = self.mlm_collator(
+                    ids, seed=rng.getrandbits(32)
+                )
                 sample["text_ids_mlm"] = ids_mlm[0].astype(np.int32)
                 sample["text_labels_mlm"] = labels[0].astype(np.int32)
 
@@ -277,6 +281,7 @@ class TextCorpusDataset:
         bounds = {"train": (0, int(0.8 * n)), "val": (int(0.8 * n), int(0.9 * n)),
                   "test": (int(0.9 * n), n)}
         lo, hi = bounds[split]
+        self.split = split
         self.indices = perm[lo:hi]
         self.ds = ds
         self.text_column = text_column
@@ -287,6 +292,10 @@ class TextCorpusDataset:
 
     def __len__(self) -> int:
         return max(len(self.indices) // self.pack_ratio, 1)
+
+    # set by ShardedLoader.set_epoch, like BaseDataset: MLM masks differ
+    # per epoch but are deterministic per (split, index, epoch)
+    epoch: int = 0
 
     def __getitem__(self, index: int) -> Sample:
         # pack consecutive texts until the token budget fills
@@ -302,7 +311,8 @@ class TextCorpusDataset:
         ids, mask = encode_texts(self.tokenizer, [packed], self.max_text_len)
         sample: Sample = {"text_ids": ids[0], "text_mask": mask[0]}
         if self.mlm_collator is not None:
-            ids_mlm, labels = self.mlm_collator(ids)
+            seed = zlib.crc32(f"{self.split}:{index}:{self.epoch}".encode())
+            ids_mlm, labels = self.mlm_collator(ids, seed=seed)
             sample["text_ids_mlm"] = ids_mlm[0].astype(np.int32)
             sample["text_labels_mlm"] = labels[0].astype(np.int32)
         return sample

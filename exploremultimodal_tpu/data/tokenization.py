@@ -11,9 +11,14 @@ text_ids_mlm + text_labels_mlm (−100 at unmasked positions).
 from __future__ import annotations
 
 import os
+import random
+import threading
 from functools import lru_cache
 
 import numpy as np
+
+# serializes seeded draws through the HF collators' global-RNG dependency
+_GLOBAL_RNG_LOCK = threading.Lock()
 
 DEFAULT_RESOURCE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -61,9 +66,30 @@ class MlmCollator:
             return_tensors="np",
         )
 
-    def __call__(self, input_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(B, L) int ids → (ids_mlm, labels_mlm), labels −100 off-target."""
-        out = self.collator([list(row) for row in np.asarray(input_ids)])
+    def __call__(
+        self, input_ids: np.ndarray, seed: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(B, L) int ids → (ids_mlm, labels_mlm), labels −100 off-target.
+
+        The HF collators draw from the GLOBAL numpy/python RNG. With `seed`
+        (the caller's per-sample crc32 stream) the draw is isolated under a
+        lock and the global state restored — per-sample masks become
+        deterministic under multi-threaded loader workers, the thread-based
+        equivalent of torch DataLoader's per-worker seeding."""
+        rows = [list(row) for row in np.asarray(input_ids)]
+        if seed is None:
+            out = self.collator(rows)
+        else:
+            with _GLOBAL_RNG_LOCK:
+                py_state = random.getstate()
+                np_state = np.random.get_state()
+                random.seed(seed)
+                np.random.seed(seed % (2 ** 32))
+                try:
+                    out = self.collator(rows)
+                finally:
+                    random.setstate(py_state)
+                    np.random.set_state(np_state)
         return np.asarray(out["input_ids"]), np.asarray(out["labels"])
 
 

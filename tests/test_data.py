@@ -297,6 +297,35 @@ def test_experiment_logger_jsonl_and_summary(tmp_path):
     assert not (tmp_path / "off").exists()
 
 
+def test_mlm_collator_per_sample_seed():
+    """Seeded collation is deterministic, seed-sensitive, and leaves the
+    process-global RNG untouched (thread-safe per-sample masking — torch
+    DataLoader per-worker seeding equivalent)."""
+    import random as py_random
+
+    from exploremultimodal_tpu.data.tokenization import MlmCollator, get_tokenizer
+
+    tok = get_tokenizer("bert-base-uncased", "resource")
+    col = MlmCollator(tok, whole_word_masking=True, mlm_prob=0.5)
+    ids = tok(["a quick brown fox jumps over the lazy dog"],
+              padding="max_length", truncation=True, max_length=16,
+              return_tensors="np")["input_ids"].astype(np.int32)
+
+    np.random.seed(123)
+    py_random.seed(123)
+    np_state = np.random.get_state()[1].copy()
+    a1, l1 = col(ids, seed=7)
+    a2, l2 = col(ids, seed=7)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(l1, l2)
+
+    outs = [col(ids, seed=s)[1] for s in range(20)]
+    assert any(not np.array_equal(outs[0], o) for o in outs[1:])
+
+    # global stream unchanged by seeded draws
+    np.testing.assert_array_equal(np.random.get_state()[1], np_state)
+
+
 def test_experiment_logger_alert_and_config_update(tmp_path):
     """wandb.alert / wandb.config.update surface (utils/utils.py:193-194,
     235-242): without a wandb client, alerts land in alerts.jsonl and config
