@@ -359,14 +359,14 @@ def bench_bert_mlm(batch_size: int, n_warmup: int, n_iters: int) -> dict:
     }
 
 
-def _arm_watchdog() -> None:
-    """Hard wall-clock limit (BENCH_TIMEOUT_S, default 2h): if the tunneled
-    TPU backend wedges mid-run (observed: jax.devices()/execution blocking
-    indefinitely after a tunnel outage), emit a machine-readable error line
-    instead of hanging the driver forever."""
+def _arm_watchdog(default_s: float = 7200.0) -> None:
+    """Hard wall-clock limit (BENCH_TIMEOUT_S, default 2h; 5h for all-mode):
+    if the tunneled TPU backend wedges mid-run (observed: jax.devices()/
+    execution blocking indefinitely after a tunnel outage), emit a
+    machine-readable error line instead of hanging the driver forever."""
     import threading
 
-    limit = float(os.environ.get("BENCH_TIMEOUT_S", "7200"))
+    limit = float(os.environ.get("BENCH_TIMEOUT_S", str(default_s)))
 
     def _abort():
         print(json.dumps({
@@ -385,9 +385,9 @@ def _arm_watchdog() -> None:
 
 
 def main() -> None:
-    _arm_watchdog()
-    _setup_cache()
     mode = os.environ.get("BENCH_MODE", "vlmo_pretrain")
+    _arm_watchdog(default_s=18000.0 if mode == "all" else 7200.0)
+    _setup_cache()
     batch_env = os.environ.get("BENCH_BATCH")
     n_warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
@@ -406,10 +406,37 @@ def main() -> None:
     }
 
     if mode == "all":
+        # Each config runs in its OWN subprocess with its own timeout: a
+        # tunnel hang or OOM in one config can't take down the rest, and
+        # every config gets a fresh TPU client (observed: a wedged client
+        # poisons all later work in the same process).
+        import subprocess
+        import sys as _sys
+
+        per_cfg_timeout = float(os.environ.get("BENCH_CONFIG_TIMEOUT_S",
+                                               "3600"))
         results = {}
-        for name, fn in runners.items():
+        for name in runners:
+            env = dict(os.environ)
+            env["BENCH_MODE"] = name
+            env.setdefault("BENCH_TIMEOUT_S", str(per_cfg_timeout))
             try:
-                results[name] = fn()
+                proc = subprocess.run(
+                    [_sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True,
+                    timeout=per_cfg_timeout + 60,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                line = next(
+                    (l for l in reversed(proc.stdout.splitlines())
+                     if l.startswith("{")), None,
+                )
+                if line is None:
+                    raise RuntimeError(
+                        f"no JSON line (rc={proc.returncode}); stderr tail: "
+                        + proc.stderr[-300:]
+                    )
+                results[name] = json.loads(line)
             except Exception as e:  # keep going; record the failure
                 results[name] = {"error": f"{type(e).__name__}: {e}"}
         with open("BENCHMARKS.json", "w") as f:
