@@ -85,15 +85,18 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype, name="qkv")(x)
         q_bias = self.param("q_bias", nn.initializers.zeros, (self.dim,))
         v_bias = self.param("v_bias", nn.initializers.zeros, (self.dim,))
-        qkv_bias = jnp.concatenate(
-            [q_bias, jnp.zeros_like(q_bias), v_bias]
-        ).astype(qkv.dtype)
-        qkv = qkv + qkv_bias
 
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = (
             jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)
         )  # each (B, H, N, Dh)
+        # bias AFTER the head split: same values as adding the concatenated
+        # (q_bias ‖ 0 ‖ v_bias) to the packed (B, N, 3C) tensor, but k needs
+        # no add at all and the q/v adds fuse into the split/transpose
+        # fusions instead of a separate (B, N, 3C) elementwise pass
+        # (~4 ms/step of the headline profile, BENCH.md round 3)
+        q = q + q_bias.reshape(self.num_heads, 1, head_dim).astype(q.dtype)
+        v = v + v_bias.reshape(self.num_heads, 1, head_dim).astype(v.dtype)
 
         out = multi_head_attention(
             q, k, v,
