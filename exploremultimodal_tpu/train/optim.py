@@ -148,6 +148,99 @@ def no_decay_mask(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(decayed, params)
 
 
+def phase_frozen_predicate(
+    loss_names: tuple[str, ...],
+    phase: str | None = None,
+    mim_head_pos: str = "img",
+):
+    """Static no-gradient-path set for a phase's loss composition.
+
+    torch optimizers skip params whose .grad stays None — in the reference a
+    text-only phase (pretrain_txt) never touches the vision experts / patch
+    embedding, so AdamW never weight-decays them (optim_factory.py builds
+    groups from requires_grad params; torch.optim skips grad-None). Under
+    optax every leaf gets a (zero) gradient, so without this mask the decay
+    term would silently shrink untouched params. The gradient graph is
+    STATIC per phase (routes are trace-time), so the no-grad set is derivable
+    from the loss composition; tests/test_frozen_params.py checks it against
+    the actual gradients (every frozen leaf must have exactly-zero grads).
+
+    Returns a path-predicate naming the frozen subtree, or None when every
+    parameter can receive gradients (the predicate then must not be applied).
+    """
+    losses = set(loss_names)
+    if not losses:
+        return None
+    # conservative: imgcls may run either img-only (finetune_vis arrows carry
+    # no captions) or paired — treat it as touching text+fused
+    mim_fused = "mim" in losses and mim_head_pos == "mum"
+    text_used = bool(losses & {
+        "mlm", "itc", "itm", "irtr", "vqa", "nlvr2", "mpp", "caption",
+        "refcoco", "inpainting", "imgcls",
+    }) or mim_fused
+    image_used = bool(losses & {
+        "mim", "mpp", "mae", "imgcls", "itc", "itm", "irtr", "vqa", "nlvr2",
+        "caption", "refcoco", "inpainting",
+    })
+    masked_image_used = bool(losses & {"mim", "mpp", "mae"})
+    fused_used = bool(losses & {
+        "itm", "vqa", "nlvr2", "mpp", "irtr", "caption", "refcoco",
+        "inpainting", "imgcls",
+    }) or ("mlm" in losses and image_used) or mim_fused
+    pooled_used = bool(losses & {"itm", "vqa", "nlvr2", "irtr", "imgcls"})
+
+    frozen: set[str] = set()
+    if not text_used:
+        frozen |= {"txt_embeddings", "mlp_l"}
+    if not image_used:
+        frozen |= {"patch_embed", "pos_embed", "img_cls_token", "mlp_v"}
+    if not masked_image_used:
+        frozen.add("img_mask_token")
+    if not fused_used:
+        frozen.add("mlp_vl")
+    if not pooled_used:
+        frozen.add("pooler")
+    if not frozen:
+        return None
+
+    def pred(name: str) -> bool:
+        return any(seg in frozen for seg in name.split("/"))
+
+    return pred
+
+
+def split_frozen(params: Any, frozen_pred) -> tuple[Any, Any]:
+    """(trainable, frozen) param subtrees. With frozen_pred None the params
+    pass through untouched (frozen side None) so the compiled step is
+    bit-identical to the unsplit one for all-trainable phases."""
+    if frozen_pred is None:
+        return params, None
+    from flax import traverse_util
+    from flax.core import unfreeze
+
+    flat = traverse_util.flatten_dict(unfreeze(params), sep="/")
+    trainable = {k: v for k, v in flat.items() if not frozen_pred(k)}
+    frozen = {k: v for k, v in flat.items() if frozen_pred(k)}
+    if not frozen:
+        return params, None
+    return (
+        traverse_util.unflatten_dict(trainable, sep="/"),
+        traverse_util.unflatten_dict(frozen, sep="/"),
+    )
+
+
+def merge_frozen(trainable: Any, frozen: Any) -> Any:
+    if frozen is None:
+        return trainable
+    from flax import traverse_util
+
+    flat = {
+        **traverse_util.flatten_dict(trainable, sep="/"),
+        **traverse_util.flatten_dict(frozen, sep="/"),
+    }
+    return traverse_util.unflatten_dict(flat, sep="/")
+
+
 def fixed_attn_predicate(name: str) -> bool:
     """pretrain_txt fixed_attn=true freeze set (vlmo_module.py:150-163):
     shared attention, block norms, gammas, and the final norm."""

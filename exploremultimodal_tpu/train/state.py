@@ -49,6 +49,7 @@ def create_train_state(
     opt: Any,
     rng: jax.Array,
     *,
+    trainable: Any = None,
     use_ema: bool = False,
     ema_decay: float = 0.995,
     use_model_ema: bool = False,
@@ -78,7 +79,10 @@ def create_train_state(
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=opt.init(params),
+        # the optimizer covers only the phase's gradient-reachable subtree
+        # (trainer.frozen_pred; torch grad-None skip semantics) — frozen
+        # params carry no moments at all
+        opt_state=opt.init(trainable if trainable is not None else params),
         rng=rng,
         ema_params=ema,
         ema_decay=ema_decay,

@@ -45,7 +45,13 @@ from exploremultimodal_tpu.parallel.partitioning import (
     to_shardings,
 )
 from exploremultimodal_tpu.train import checkpoints as ckpt_lib
-from exploremultimodal_tpu.train.optim import create_optimizer, global_norm
+from exploremultimodal_tpu.train.optim import (
+    create_optimizer,
+    global_norm,
+    merge_frozen,
+    phase_frozen_predicate,
+    split_frozen,
+)
 from exploremultimodal_tpu.train.state import (
     TrainState,
     create_train_state,
@@ -148,7 +154,23 @@ class Trainer:
 
         steps_per_epoch = max(len(self.data.train_loader()), 1)
         self.steps_per_epoch = steps_per_epoch
-        self.optimizer, self.schedule = create_optimizer(cfg, params, steps_per_epoch)
+        # Params outside the phase's gradient graph (e.g. vision experts in
+        # pretrain_txt, the text side in pretrain_vis) are excluded from the
+        # optimizer entirely — torch semantics (grad-None params are skipped,
+        # so no weight decay / moments for them) plus the bandwidth win of
+        # not reading/writing their moments every step.
+        t_cfg = cfg.train
+        self.frozen_pred = phase_frozen_predicate(
+            tuple(t_cfg.loss_names),
+            t_cfg.get("phase"),
+            t_cfg.get("mim_head_pos", "img"),
+        )
+        trainable, _frozen = split_frozen(params, self.frozen_pred)
+        if self.frozen_pred is not None and _frozen is None:
+            self.frozen_pred = None  # nothing actually matched
+        self.optimizer, self.schedule = create_optimizer(
+            cfg, trainable, steps_per_epoch
+        )
 
         # two independent EMA trees, like the reference: vlmo_ema is the ITC
         # momentum encoder (vlmo_module.py:120-131, decay 0.995); model_ema is
@@ -159,6 +181,7 @@ class Trainer:
             params,
             self.optimizer,
             jax.random.key(cfg.seed + 7),
+            trainable=trainable,
             use_ema=cfg.get("vlmo_ema", False),
             ema_decay=cfg.get("vlmo_ema_decay", 0.995),
             use_model_ema=cfg.get("model_ema", False),
@@ -306,8 +329,11 @@ class Trainer:
                     "reference uses them in disjoint phases)"
                 )
 
-        def loss_fn(params, model_batch, rngs, isda_state, epoch,
+        frozen_pred = self.frozen_pred
+
+        def loss_fn(trainable, frozen, model_batch, rngs, isda_state, epoch,
                     momentum_feats, queue, pos_offset=0):
+            params = merge_frozen(trainable, frozen)
             isda_ratio = (
                 isda_lambda * epoch / max(total_epochs, 1) if isda_lambda else 0.0
             )
@@ -324,21 +350,24 @@ class Trainer:
             )
             return total_loss(outputs, flat=flat_loss), outputs
 
-        def value_and_grad_fn(params, model_batch, rngs, isda_state, epoch,
-                              momentum_feats, queue, pos_offset=0):
+        def value_and_grad_fn(trainable, frozen, model_batch, rngs, isda_state,
+                              epoch, momentum_feats, queue, pos_offset=0):
             """((loss, outputs), grads) — plain value_and_grad, or the
             shard_map global_reduce path where each data shard computes its
             local loss against gathered features and grads are pmean'd
-            (reference: local loss + GatherLayer backward + DDP allreduce)."""
+            (reference: local loss + GatherLayer backward + DDP allreduce).
+            Gradients cover only the trainable subtree (torch grad-None
+            skip: frozen params are outside the phase's gradient graph)."""
             if not use_gather:
                 return jax.value_and_grad(loss_fn, has_aux=True)(
-                    params, model_batch, rngs, isda_state, epoch,
+                    trainable, frozen, model_batch, rngs, isda_state, epoch,
                     momentum_feats, queue, pos_offset,
                 )
 
             from jax import shard_map
 
-            def inner(params, model_batch, rngs, epoch, momentum_feats, queue):
+            def inner(trainable, frozen, model_batch, rngs, epoch,
+                      momentum_feats, queue):
                 local_rngs = {
                     k: jax.random.fold_in(r, jax.lax.axis_index("data"))
                     for k, r in rngs.items()
@@ -346,7 +375,7 @@ class Trainer:
 
                 def local_loss(p):
                     outputs = self.task.apply(
-                        {"params": p},
+                        {"params": merge_frozen(p, frozen)},
                         model_batch,
                         deterministic=False,
                         axis_name="data",
@@ -358,7 +387,7 @@ class Trainer:
 
                 (loss, outputs), grads = jax.value_and_grad(
                     local_loss, has_aux=True
-                )(params)
+                )(trainable)
                 met = {
                     k: jax.lax.pmean(jnp.asarray(v, jnp.float32), "data")
                     for k, v in _metrics_from_outputs(outputs).items()
@@ -373,17 +402,22 @@ class Trainer:
             inner_s = shard_map(
                 inner,
                 mesh=self.mesh,
-                in_specs=(P_(), P_("data"), P_(), P_(), mf_spec, P_()),
+                in_specs=(P_(), P_(), P_("data"), P_(), P_(), mf_spec, P_()),
                 out_specs=P_(),
                 check_vma=False,
             )
-            return inner_s(params, model_batch, rngs, epoch,
+            return inner_s(trainable, frozen, model_batch, rngs, epoch,
                            momentum_feats, queue)
 
         def train_step(state: TrainState, batch: dict, epoch: jax.Array):
             rngs = state.step_rngs("dropout", "droppath", "sample")
             model_batch = self._model_batch(batch)
             momentum_feats, queue = momentum_branch(state, model_batch)
+            # trainable = the phase's gradient-reachable subtree; frozen
+            # leaves bypass autodiff and the optimizer entirely (torch
+            # grad-None skip). For all-trainable phases frozen is None and
+            # this is an identity split.
+            trainable, frozen = split_frozen(state.params, frozen_pred)
 
             if accum > 1:
                 # Microbatch loop with full carry: grads + scalar metrics +
@@ -417,7 +451,7 @@ class Trainer:
                         k: jax.random.fold_in(r, i) for k, r in rngs.items()
                     }
                     (loss, out), g = value_and_grad_fn(
-                        state.params, mb, micro_rngs, isda_carry, epoch,
+                        trainable, frozen, mb, micro_rngs, isda_carry, epoch,
                         momentum_feats, queue, i * mb_size,
                     )
                     met = metrics_of(out)
@@ -429,7 +463,7 @@ class Trainer:
                     )
 
                 zero = jax.tree_util.tree_map(
-                    lambda p: jnp.zeros_like(p, jnp.float32), state.params
+                    lambda p: jnp.zeros_like(p, jnp.float32), trainable
                 )
                 mb0 = mb_slice(model_batch, 0)
                 mfeats0 = (
@@ -438,9 +472,9 @@ class Trainer:
                 )
                 out_shapes = jax.eval_shape(
                     lambda p: loss_fn(
-                        p, mb0, rngs, state.isda, epoch, mfeats0, queue
+                        p, frozen, mb0, rngs, state.isda, epoch, mfeats0, queue
                     )[1],
-                    state.params,
+                    trainable,
                 )
                 met0 = {
                     k: jnp.zeros((), jnp.float32)
@@ -460,7 +494,7 @@ class Trainer:
                     outputs["isda_state"] = isda_final
             else:
                 (loss, outputs), grads = value_and_grad_fn(
-                    state.params, model_batch, rngs, state.isda, epoch,
+                    trainable, frozen, model_batch, rngs, state.isda, epoch,
                     momentum_feats, queue,
                 )
 
@@ -468,7 +502,7 @@ class Trainer:
             if self._offload:
                 opt_state = jax.device_put(opt_state, self._opt_dev_shardings)
             updates, new_opt_state = self.optimizer.update(
-                grads, opt_state, state.params
+                grads, opt_state, trainable
             )
             if self._offload:
                 new_opt_state = jax.device_put(
@@ -476,7 +510,9 @@ class Trainer:
                 )
             import optax
 
-            new_params = optax.apply_updates(state.params, updates)
+            new_params = merge_frozen(
+                optax.apply_updates(trainable, updates), frozen
+            )
 
             new_ema = state.ema_params
             if use_momentum and state.ema_params is not None:
@@ -509,7 +545,10 @@ class Trainer:
                     metrics[f"watch_param_norm/{mod}"] = global_norm(
                         new_params[mod]
                     )
-                    metrics[f"watch_grad_norm/{mod}"] = global_norm(grads[mod])
+                    if mod in grads:  # frozen-only modules have no grads
+                        metrics[f"watch_grad_norm/{mod}"] = global_norm(
+                            grads[mod]
+                        )
 
             new_state = state.replace(
                 step=state.step + 1,
