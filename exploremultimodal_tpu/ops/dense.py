@@ -39,6 +39,41 @@ Dtype = Any
 
 
 @jax.custom_vjp
+def barrier_cotangent(x: jax.Array) -> jax.Array:
+    """Identity whose BACKWARD wraps the cotangent in an optimization barrier.
+
+    Placed on a Dense pre-activation (e.g. the fc1 output), this forces XLA
+    to materialize the incoming cotangent ONCE before its three consumers
+    (kernel-grad dot, bias-grad reduce, input-grad dot) instead of
+    duplicating the producer chain (dropout-bwd × GELU-bwd at MLP widths)
+    into each fusion — the duplication the round-3 profile measured as
+    ~29 ms/step of reduce-rooted fusions (BENCH.md "MXU bias-grad A/B":
+    the reduce itself is bandwidth-optimal; the producers are the cost).
+    Numerically an exact no-op in both passes.
+
+    Measured on the fc1 pre-activation of every MLP in the headline step
+    (BENCH.md round 3): 207.4 ms vs 205.4 baseline, bytes-accessed
+    190.8 → 194.2 GB — materialize-once LOSES to recompute-per-consumer,
+    like every store-vs-recompute A/B on this chip (the chain's inputs are
+    ~the same bytes as its output, so deduplication saves no traffic and
+    the barrier only breaks fusion). Kept as a utility for genuinely
+    expensive cotangent producers; not used by the production models.
+    """
+    return x
+
+
+def _barrier_fwd(x):
+    return x, None
+
+
+def _barrier_bwd(_, g):
+    return (jax.lax.optimization_barrier(g),)
+
+
+barrier_cotangent.defvjp(_barrier_fwd, _barrier_bwd)
+
+
+@jax.custom_vjp
 def bias_add(y: jax.Array, b: jax.Array) -> jax.Array:
     """y + b with the b-cotangent computed as an MXU ones-dot.
 

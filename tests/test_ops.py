@@ -361,3 +361,23 @@ def test_mxu_dense_matches_nn_dense_fwd_and_grads():
         np.asarray(g_ref["bias"]), np.asarray(g_new["bias"]),
         rtol=5e-2, atol=5e-2,
     )
+
+
+def test_barrier_cotangent_is_exact_identity_in_both_passes():
+    """barrier_cotangent (ops/dense.py) is a numerical no-op: identity
+    forward, identity cotangent backward (only an optimization_barrier is
+    inserted). A measured LOSS at the headline step (BENCH.md round 3
+    "cotangent-barrier A/B") — kept as a utility, not used by the model."""
+    from exploremultimodal_tpu.ops.dense import barrier_cotangent
+
+    x = jax.random.normal(jax.random.key(7), (3, 5, 8), jnp.bfloat16)
+
+    y = jax.jit(barrier_cotangent)(x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+    def loss(v):
+        return (barrier_cotangent(v).astype(jnp.float32) ** 2).sum()
+
+    g = jax.jit(jax.grad(loss))(x)
+    g_ref = jax.jit(jax.grad(lambda v: (v.astype(jnp.float32) ** 2).sum()))(x)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
