@@ -196,6 +196,8 @@ def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
             f"attn_impl={os.environ.get('BENCH_ATTN', 'recompute')}",
             # BENCH_REMAT: false (default) | true | dots (selective policy)
             f"parallel.remat={os.environ.get('BENCH_REMAT', 'false')}",
+            # BENCH_QUANTIZE=w8a8: backbone dots on the int8 MXU (ops/quant.py)
+            f"model.quantize={os.environ.get('BENCH_QUANTIZE', 'none')}",
             "train.warmup_steps=2",
             "exp_dir=/tmp/emm_bench",
             "log_level=error",
@@ -312,7 +314,9 @@ def bench_bert_mlm(batch_size: int, n_warmup: int, n_iters: int) -> dict:
     cfg = load_config(
         ["model=vlmo_base", "train=pretrain_txt", "model.max_text_len=196",
          "compute_dtype=bfloat16", "model.drop_rate=0.0",
-         "model.attn_drop_rate=0.0", "model.drop_path_rate=0.0"]
+         "model.attn_drop_rate=0.0", "model.drop_path_rate=0.0",
+         # BENCH_QUANTIZE=w8a8: forward-only config — the int8 MXU scenario
+         f"model.quantize={os.environ.get('BENCH_QUANTIZE', 'none')}"]
     )
     task = build_model(cfg)
     rng = np.random.default_rng(0)

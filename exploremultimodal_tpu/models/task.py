@@ -71,6 +71,10 @@ class VlmoConfig:
     dtype_name: str = "float32"
     attn_impl: str = "xla"
     remat: bool | str = False
+    # "w8a8": backbone qkv/proj/fc1/fc2 forwards on the int8 MXU (~2x bf16
+    # peak, ops/quant.py), straight-through bf16 backward. Beyond-the-
+    # reference option (the reference is fp16 AMP); parity configs use "none".
+    quantize: str = "none"
 
     @property
     def dtype(self):
@@ -109,6 +113,7 @@ class VlmoConfig:
             mim_gather_cap=float(t.get("mim_gather_cap", 0.4)),
             dtype_name=cfg.get("compute_dtype", "float32"),
             attn_impl=cfg.get("attn_impl", "xla"),
+            quantize=str(m.get("quantize", "none")),
             # false | true | 'dots' (selective save-dots policy)
             remat=(lambda r: r if isinstance(r, str) else bool(r))(
                 cfg.select("parallel.remat", False)),
@@ -141,6 +146,7 @@ class VlmoTask(nn.Module):
             dtype=c.dtype,
             attn_impl=c.attn_impl,
             remat=c.remat,
+            quantize=c.quantize,
         )
         hs = c.embed_dim
         if "mlm" in c.loss_names:

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from exploremultimodal_tpu.ops import FastDropout, drop_path, multi_head_attention
 from exploremultimodal_tpu.ops.attention import key_padding_bias
+from exploremultimodal_tpu.ops.quant import dense as q_dense
 
 ROUTES = ("v", "l", "vl")
 
@@ -51,13 +52,14 @@ class Mlp(nn.Module):
     out_dim: int
     drop_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = q_dense(self.quantize, self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = FastDropout(self.drop_rate, deterministic=deterministic)(x)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = q_dense(self.quantize, self.out_dim, dtype=self.dtype, name="fc2")(x)
         x = FastDropout(self.drop_rate, deterministic=deterministic)(x)
         return x
 
@@ -71,6 +73,7 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     dtype: Dtype = jnp.float32
     impl: str = "xla"
+    quantize: str = "none"
 
     @nn.compact
     def __call__(
@@ -82,7 +85,9 @@ class Attention(nn.Module):
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
 
-        qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype, name="qkv")(x)
+        qkv = q_dense(
+            self.quantize, 3 * self.dim, use_bias=False, dtype=self.dtype, name="qkv"
+        )(x)
         q_bias = self.param("q_bias", nn.initializers.zeros, (self.dim,))
         v_bias = self.param("v_bias", nn.initializers.zeros, (self.dim,))
 
@@ -112,7 +117,7 @@ class Attention(nn.Module):
             impl=self.impl,
         )
         out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = q_dense(self.quantize, self.dim, dtype=self.dtype, name="proj")(out)
         out = FastDropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 
@@ -136,6 +141,7 @@ class Block(nn.Module):
     experts: Sequence[str] = ROUTES
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    quantize: str = "none"
 
     def setup(self) -> None:
         self.norm1 = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32)
@@ -146,6 +152,7 @@ class Block(nn.Module):
             proj_drop=self.drop,
             dtype=self.dtype,
             impl=self.attn_impl,
+            quantize=self.quantize,
         )
         self.norm2 = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32)
         hidden = int(self.dim * self.mlp_ratio)
@@ -158,6 +165,7 @@ class Block(nn.Module):
                     out_dim=self.dim,
                     drop_rate=self.drop,
                     dtype=self.dtype,
+                    quantize=self.quantize,
                 ),
             )
         if self.init_values is not None and self.init_values > 0:
@@ -307,6 +315,7 @@ class VLMO(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool | str = False
+    quantize: str = "none"  # "w8a8" routes backbone dots to the int8 MXU
 
     @property
     def num_patches(self) -> int:
@@ -376,6 +385,7 @@ class VLMO(nn.Module):
                 experts=layout[i],
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                quantize=self.quantize,
             )
             for i in range(self.depth)
         ]
