@@ -71,8 +71,9 @@ class VlmoConfig:
     dtype_name: str = "float32"
     attn_impl: str = "xla"
     remat: bool | str = False
-    # "w8a8": backbone qkv/proj/fc1/fc2 forwards on the int8 MXU (~2x bf16
-    # peak, ops/quant.py), straight-through bf16 backward. Beyond-the-
+    # "w8a8"/"w8a8_pallas": backbone qkv/proj/fc1/fc2 forwards on the int8
+    # MXU (ops/quant.py; _pallas fuses quantization into the matmul kernel,
+    # ops/quant_pallas.py), straight-through bf16 backward. Beyond-the-
     # reference option (the reference is fp16 AMP); parity configs use "none".
     quantize: str = "none"
 

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from exploremultimodal_tpu.ops import FastDropout, drop_path, multi_head_attention
 from exploremultimodal_tpu.ops.attention import key_padding_bias
-from exploremultimodal_tpu.ops.quant import dense as q_dense
+from exploremultimodal_tpu.ops.quant import dense as q_dense, site_mode
 
 ROUTES = ("v", "l", "vl")
 
@@ -56,10 +56,26 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        x = q_dense(self.quantize, self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        mode = site_mode(self.quantize, "mlp")
+        dropout_active = (not deterministic) and self.drop_rate > 0.0
+        if mode == "w8a8_pallas" and not dropout_active:
+            # whole-MLP fusion: both dots on the int8 MXU with the hidden
+            # activation held in VMEM (never hits HBM) and the exact gelu
+            # in the kernel epilogue — ops/quant_pallas.py:fused_w8a8_mlp.
+            # Param tree is identical to the fc1/fc2 Dense path below.
+            from exploremultimodal_tpu.ops.quant import DenseParams
+            from exploremultimodal_tpu.ops.quant_pallas import fused_w8a8_mlp
+
+            w1, b1 = DenseParams(self.hidden_dim, name="fc1")(x.shape[-1])
+            w2, b2 = DenseParams(self.out_dim, name="fc2")(self.hidden_dim)
+            return fused_w8a8_mlp(
+                x.astype(self.dtype), w1, b1, w2, b2,
+                jax.default_backend() == "cpu",
+            )
+        x = q_dense(mode, self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = FastDropout(self.drop_rate, deterministic=deterministic)(x)
-        x = q_dense(self.quantize, self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = q_dense(mode, self.out_dim, dtype=self.dtype, name="fc2")(x)
         x = FastDropout(self.drop_rate, deterministic=deterministic)(x)
         return x
 
@@ -86,7 +102,8 @@ class Attention(nn.Module):
         head_dim = self.dim // self.num_heads
 
         qkv = q_dense(
-            self.quantize, 3 * self.dim, use_bias=False, dtype=self.dtype, name="qkv"
+            site_mode(self.quantize, "qkv"), 3 * self.dim, use_bias=False,
+            dtype=self.dtype, name="qkv",
         )(x)
         q_bias = self.param("q_bias", nn.initializers.zeros, (self.dim,))
         v_bias = self.param("v_bias", nn.initializers.zeros, (self.dim,))
@@ -117,7 +134,8 @@ class Attention(nn.Module):
             impl=self.impl,
         )
         out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
-        out = q_dense(self.quantize, self.dim, dtype=self.dtype, name="proj")(out)
+        out = q_dense(site_mode(self.quantize, "proj"), self.dim,
+                      dtype=self.dtype, name="proj")(out)
         out = FastDropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 

@@ -101,14 +101,22 @@ class QuantDense(nn.Module):
     Identical parameter tree to nn.Dense (kernel (in, features) + optional
     bias, fp32 params, lecun_normal init) — checkpoints and partitioning
     specs are interchangeable. Only the forward dot is quantized (W8A8,
-    dynamic per-tensor activation / per-channel weight scales); bias add and
+    dynamic activation / per-channel weight scales); bias add and
     all gradients stay at the activation/param precision.
+
+    impl selects the forward emitter:
+      "xla"    — per-tensor activation scale, separate XLA quantize passes
+                 (materializes the int8 copy in HBM; BENCH.md int8 study)
+      "pallas" — ops/quant_pallas.py fused kernel: per-ROW activation
+                 scales computed in VMEM, int8 MXU dot, no HBM int8 copy
+                 (auto-interpreted when running on CPU, e.g. in tests)
     """
 
     features: int
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -126,7 +134,12 @@ class QuantDense(nn.Module):
             else None
         )
         x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
-        y = quant_dot(x, kernel)
+        if self.impl == "pallas":
+            from exploremultimodal_tpu.ops.quant_pallas import pallas_quant_dot
+
+            y = pallas_quant_dot(x, kernel, jax.default_backend() == "cpu")
+        else:
+            y = quant_dot(x, kernel)
         if bias is not None:
             y = y + bias
         return y
@@ -137,10 +150,59 @@ def dense(quantize: str, features: int, *, use_bias: bool = True, dtype=None,
     """Pick the Dense implementation for `model.quantize`.
 
     "none" -> nn.Dense (bf16/f32 MXU path); "w8a8" -> QuantDense (int8 MXU
-    forward, straight-through backward). Same parameter tree either way.
+    forward via separate XLA quantize passes); "w8a8_pallas" -> QuantDense
+    with the fused Pallas kernel (quantization inside the matmul's VMEM
+    pipeline, ops/quant_pallas.py). Same parameter tree in all cases;
+    backward is always the straight-through full-precision dot.
     """
     if quantize == "none":
         return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
     if quantize == "w8a8":
         return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
-    raise ValueError(f"unknown model.quantize={quantize!r} (none|w8a8)")
+    if quantize == "w8a8_pallas":
+        return QuantDense(
+            features, use_bias=use_bias, dtype=dtype, name=name, impl="pallas"
+        )
+    raise ValueError(
+        f"unknown model.quantize={quantize!r} "
+        "(none|w8a8|w8a8_pallas|w8a8_pallas_mlp)"
+    )
+
+
+class DenseParams(nn.Module):
+    """Declares nn.Dense's exact parameter tree (kernel + bias, same init
+    stream) WITHOUT computing — for fused kernels that consume the raw
+    params of several layers at once (ops/quant_pallas.py fused MLP) while
+    keeping checkpoints/partitioning identical to the unfused modules."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_dim, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
+def site_mode(quantize: str, site: str) -> str:
+    """Resolve a model.quantize value for a callsite ('qkv'|'proj'|'mlp').
+
+    Site-restricted modes (BENCH.md "Pallas fused W8A8" step A/Bs):
+      'w8a8_pallas_mlp'    — fused int8 kernel for fc1/fc2 only (the MLP
+                             shapes gain 1.2-1.4x in isolation), attention
+                             denses stay bf16.
+      'w8a8_pallas_noproj' — fc1/fc2 + qkv quantized; proj stays bf16 (its
+                             input is a head-transpose XLA can fold into a
+                             bf16 dot but must materialize for an opaque
+                             kernel).
+    """
+    if quantize == "w8a8_pallas_mlp":
+        return "w8a8_pallas" if site == "mlp" else "none"
+    if quantize == "w8a8_pallas_noproj":
+        return "none" if site == "proj" else "w8a8_pallas"
+    return quantize

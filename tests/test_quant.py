@@ -88,8 +88,131 @@ def test_dense_factory_dispatch_and_unknown_mode():
 
     assert isinstance(dense("none", 4), nn.Dense)
     assert isinstance(dense("w8a8", 4), QuantDense)
+    assert dense("w8a8", 4).impl == "xla"
+    assert dense("w8a8_pallas", 4).impl == "pallas"
     with pytest.raises(ValueError, match="quantize"):
         dense("int4", 4)
+
+
+def test_pallas_fused_matmul_matches_and_beats_per_tensor_accuracy():
+    """ops/quant_pallas.py (interpret mode on CPU): the fused kernel's
+    per-ROW activation scales must sit within the int8 envelope of the
+    exact dot AND be at least as accurate as quant_dot's per-tensor scale.
+    Shapes are deliberately non-multiples of the tiles (pad path)."""
+    from exploremultimodal_tpu.ops.quant_pallas import pallas_quant_dot
+
+    kx, kw = jax.random.split(jax.random.key(3))
+    x = jax.random.normal(kx, (3, 50, 96), jnp.float32)
+    # give rows very different magnitudes so per-row scales matter
+    x = x * jnp.linspace(0.01, 10.0, 50).reshape(1, 50, 1)
+    w = jax.random.normal(kw, (96, 130), jnp.float32) * 0.05
+
+    y_p = np.asarray(pallas_quant_dot(x, w, True), np.float32)
+    y_x = np.asarray(quant_dot(x, w), np.float32)
+    y_ref = np.asarray(jnp.einsum("bnk,ko->bno", x, w), np.float32)
+
+    denom = np.maximum(np.abs(y_ref), np.abs(y_ref).mean())
+    rel_p = (np.abs(y_p - y_ref) / denom).mean()
+    rel_x = (np.abs(y_x - y_ref) / denom).mean()
+    assert rel_p < 0.02, rel_p
+    assert rel_p <= rel_x * 1.05, (rel_p, rel_x)
+
+
+def test_pallas_fused_grads_are_straight_through():
+    from exploremultimodal_tpu.ops.quant_pallas import pallas_quant_dot
+
+    kx, kw, kg = jax.random.split(jax.random.key(4), 3)
+    x = jax.random.normal(kx, (2, 40, 64), jnp.float32)
+    w = jax.random.normal(kw, (64, 48), jnp.float32)
+    g = jax.random.normal(kg, (2, 40, 48), jnp.float32)
+
+    _, vjp_q = jax.vjp(lambda a, b: pallas_quant_dot(a, b, True), x, w)
+    _, vjp_ref = jax.vjp(lambda a, b: jnp.einsum("bnk,ko->bno", a, b), x, w)
+    dx_q, dw_q = vjp_q(g)
+    dx_r, dw_r = vjp_ref(g)
+    np.testing.assert_allclose(np.asarray(dx_q), np.asarray(dx_r), rtol=1e-6)
+    # dw: same dot, reduction order may differ by an epsilon
+    np.testing.assert_allclose(
+        np.asarray(dw_q), np.asarray(dw_r), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_mlp_kernel_matches_reference_mlp():
+    """ops/quant_pallas.py:fused_w8a8_mlp (whole-MLP kernel, interpret on
+    CPU): forward within the two-quantized-dots envelope of the exact bf16
+    MLP; gradients are the straight-through recompute (exact-dot VJP)."""
+    from exploremultimodal_tpu.ops.quant_pallas import fused_w8a8_mlp
+
+    kx, k1, k2 = jax.random.split(jax.random.key(7), 3)
+    x = jax.random.normal(kx, (2, 50, 96), jnp.float32)
+    w1 = jax.random.normal(k1, (96, 384), jnp.float32) * 0.05
+    b1 = jax.random.normal(jax.random.key(8), (384,), jnp.float32) * 0.01
+    w2 = jax.random.normal(k2, (384, 96), jnp.float32) * 0.05
+    b2 = jax.random.normal(jax.random.key(9), (96,), jnp.float32) * 0.01
+
+    def ref(a, u1, c1, u2, c2):
+        return jax.nn.gelu(a @ u1 + c1, approximate=False) @ u2 + c2
+
+    y = np.asarray(fused_w8a8_mlp(x, w1, b1, w2, b2, True), np.float32)
+    yr = np.asarray(ref(x, w1, b1, w2, b2), np.float32)
+    rel = np.abs(y - yr) / np.maximum(np.abs(yr), np.abs(yr).mean())
+    assert rel.mean() < 0.03, rel.mean()
+
+    g = jax.random.normal(jax.random.key(10), y.shape, jnp.float32)
+    _, vq = jax.vjp(lambda *a: fused_w8a8_mlp(*a, True), x, w1, b1, w2, b2)
+    _, vr = jax.vjp(ref, x, w1, b1, w2, b2)
+    for a, b in zip(vq(g), vr(g)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_mlp_module_fused_path_same_param_tree_and_trains(tmp_path):
+    """model.quantize=w8a8_pallas_mlp routes Mlp through the whole-MLP
+    kernel; the param tree must stay identical to quantize=none (pure
+    compute-path toggle) and a tiny forward+backward must be finite."""
+    from exploremultimodal_tpu.models.vlmo import VLMO
+
+    def build(q):
+        return VLMO(
+            img_size=32, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+            max_text_len=8, fusion_layer=1, dtype=jnp.bfloat16, quantize=q,
+        )
+
+    img = jnp.ones((2, 32, 32, 3), jnp.float32)
+    v_ref = build("none").init(jax.random.key(0), img, method="forward_features")
+    v_q = build("w8a8_pallas_mlp").init(
+        jax.random.key(0), img, method="forward_features"
+    )
+    assert jax.tree.structure(v_ref) == jax.tree.structure(v_q)
+    # identical init stream -> identical values (DenseParams mirrors nn.Dense)
+    for a, b in zip(jax.tree.leaves(v_ref), jax.tree.leaves(v_q)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    model = build("w8a8_pallas_mlp")
+
+    def loss(params):
+        out = model.apply({"params": params}, img, method="forward_features")
+        return (out[0].astype(jnp.float32) ** 2).mean()
+
+    val, grads = jax.value_and_grad(loss)(v_q["params"])
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(g, np.float32)).all()
+               for g in jax.tree.leaves(grads))
+
+
+def test_quant_dense_pallas_impl_same_tree_and_close_forward():
+    import flax.linen as nn
+
+    x = jnp.ones((2, 5, 12), jnp.float32) * jnp.linspace(0.1, 2.0, 12)
+    p_ref = nn.Dense(8).init(jax.random.key(2), x)["params"]
+    p_q = QuantDense(8, impl="pallas").init(jax.random.key(2), x)["params"]
+    assert jax.tree.structure(p_ref) == jax.tree.structure(p_q)
+    y_ref = nn.Dense(8).apply({"params": p_ref}, x)
+    y_q = QuantDense(8, impl="pallas").apply({"params": p_ref}, x)
+    np.testing.assert_allclose(
+        np.asarray(y_ref), np.asarray(y_q), rtol=0.05, atol=0.05
+    )
 
 
 def test_pretrain_txt_loss_decreases_under_w8a8(tmp_path):
