@@ -57,21 +57,42 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         mode = site_mode(self.quantize, "mlp")
-        dropout_active = (not deterministic) and self.drop_rate > 0.0
-        if mode == "w8a8_pallas" and not dropout_active:
+        if mode == "w8a8_pallas":
             # whole-MLP fusion: both dots on the int8 MXU with the hidden
-            # activation held in VMEM (never hits HBM) and the exact gelu
-            # in the kernel epilogue — ops/quant_pallas.py:fused_w8a8_mlp.
-            # Param tree is identical to the fc1/fc2 Dense path below.
+            # activation held in VMEM (never hits HBM), gelu in the kernel
+            # epilogue, and the hidden dropout applied IN-kernel from
+            # uint16 RBG bits (FastDropout's integer-threshold semantics) —
+            # ops/quant_pallas.py. Param tree is identical to the fc1/fc2
+            # Dense path below; the post-fc2 dropout stays outside.
             from exploremultimodal_tpu.ops.quant import DenseParams
-            from exploremultimodal_tpu.ops.quant_pallas import fused_w8a8_mlp
+            from exploremultimodal_tpu.ops.quant_pallas import (
+                fused_w8a8_mlp,
+                fused_w8a8_mlp_dropout,
+            )
 
             w1, b1 = DenseParams(self.hidden_dim, name="fc1")(x.shape[-1])
             w2, b2 = DenseParams(self.out_dim, name="fc2")(self.hidden_dim)
-            return fused_w8a8_mlp(
-                x.astype(self.dtype), w1, b1, w2, b2,
-                jax.default_backend() == "cpu",
+            interp = jax.default_backend() == "cpu"
+            threshold = (
+                int(round(self.drop_rate * 65536.0))
+                if (not deterministic) and self.drop_rate > 0.0
+                else 0
             )
+            if threshold > 0:
+                bits = jax.random.bits(
+                    self.make_rng("dropout"),
+                    x.shape[:-1] + (self.hidden_dim,),
+                    jnp.uint16,
+                )
+                y = fused_w8a8_mlp_dropout(
+                    x.astype(self.dtype), w1, b1, w2, b2, bits, threshold,
+                    interp,
+                )
+            else:
+                y = fused_w8a8_mlp(
+                    x.astype(self.dtype), w1, b1, w2, b2, interp
+                )
+            return FastDropout(self.drop_rate, deterministic=deterministic)(y)
         x = q_dense(mode, self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = FastDropout(self.drop_rate, deterministic=deterministic)(x)

@@ -351,3 +351,144 @@ def _mlp_vjp_bwd(interpret, res, g):
 
 
 fused_w8a8_mlp.defvjp(_mlp_vjp_fwd, _mlp_vjp_bwd)
+
+
+# -- fused MLP with in-kernel hidden dropout ---------------------------------
+# The training recipe keeps hidden dropout between gelu and fc2
+# (model.drop_rate, reference nn.Dropout semantics via the uint16
+# integer-threshold trick of ops/stochastic.py:FastDropout). The mask bits
+# are drawn OUTSIDE the kernel (XLA hardware RBG, one uint16 per hidden
+# element) and consumed by both the Pallas forward (compare+scale in VMEM)
+# and the straight-through backward (same compare in XLA), so fwd/bwd see
+# the identical mask without the kernel having to export it.
+
+
+def _mlp_dropout_kernel(threshold, keep_scale, x_ref, qw1_ref, sw1_ref,
+                        b1_ref, qw2_ref, sw2_ref, b2_ref, bits_ref, out_ref):
+    qx, sx = _row_quant(x_ref[:].astype(jnp.float32))
+    h = jax.lax.dot_general(
+        qx, qw1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    h = h.astype(jnp.float32) * sx * sw1_ref[:] + b1_ref[:]
+    h = 0.5 * h * (1.0 + jnp.tanh(0.7978845608028654 * (h + 0.044715 * h * h * h)))
+    # Mosaic has no 16-bit unsigned compare on this target ("Target does
+    # not support this comparison" for uge on vector<i16>): widen to i32
+    keep = bits_ref[:].astype(jnp.int32) >= threshold
+    h = jnp.where(keep, h * keep_scale, 0.0)
+    qh, sh = _row_quant(h)
+    y = jax.lax.dot_general(
+        qh, qw2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = (
+        y.astype(jnp.float32) * sh * sw2_ref[:] + b2_ref[:]
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("threshold", "bm", "interpret")
+)
+def _fused_mlp_dropout_padded(x, qw1, sw1, b1, qw2, sw2, b2, bits, *,
+                              threshold, bm, interpret=False):
+    M, K = x.shape
+    H = qw1.shape[1]
+    N = qw2.shape[1]
+    full = lambda i: (0, 0)
+    keep_scale = 65536.0 / (65536.0 - threshold)
+    return pl.pallas_call(
+        functools.partial(_mlp_dropout_kernel, threshold, keep_scale),
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, H), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, N), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, N), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * (K * H + H * N),
+            bytes_accessed=M * K * x.dtype.itemsize + K * H + H * N
+            + M * H * 2 + M * N * x.dtype.itemsize,
+            transcendentals=M * H,
+        ),
+        interpret=interpret,
+    )(x, qw1, sw1, b1, qw2, sw2, b2, bits)
+
+
+def _mlp_dropout_fwd_impl(x, w1, b1, w2, b2, bits, threshold, interpret):
+    *lead, K = x.shape
+    H = w1.shape[1]
+    N = w2.shape[1]
+    qw1, sw1 = quantize_weights(w1)
+    qw2, sw2 = quantize_weights(w2)
+    x2 = x.reshape(-1, K)
+    bits2 = bits.reshape(-1, H)
+    M = x2.shape[0]
+    bm = 256 if H <= 3072 else 128
+    bm = min(bm, _pad_to(max(M, 1), 32))
+    Mp = _pad_to(max(M, 1), bm)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+        bits2 = jnp.pad(bits2, ((0, Mp - M), (0, 0)))
+    y = _fused_mlp_dropout_padded(
+        x2, qw1, sw1,
+        b1.reshape(1, H).astype(jnp.float32),
+        qw2, sw2,
+        b2.reshape(1, N).astype(jnp.float32),
+        bits2, threshold=threshold, bm=bm, interpret=interpret,
+    )
+    return y[:M].reshape(*lead, N)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_w8a8_mlp_dropout(x, w1, b1, w2, b2, bits,
+                           threshold: int, interpret: bool = False):
+    """fused_w8a8_mlp + hidden dropout between gelu and fc2.
+
+    bits: uint16 PRNG draws of shape x.shape[:-1] + (hidden,); an element
+    is KEPT when bits >= threshold and scaled by 65536/(65536-threshold)
+    (FastDropout's integer-threshold semantics, ops/stochastic.py).
+    Backward applies the identical mask in the straight-through recompute.
+    """
+    return _mlp_dropout_fwd_impl(x, w1, b1, w2, b2, bits, threshold, interpret)
+
+
+def _mlpd_vjp_fwd(x, w1, b1, w2, b2, bits, threshold, interpret):
+    y = _mlp_dropout_fwd_impl(x, w1, b1, w2, b2, bits, threshold, interpret)
+    return y, (x, w1, b1, w2, bits)
+
+
+def _mlpd_vjp_bwd(threshold, interpret, res, g):
+    import numpy as np
+
+    x, w1, b1, w2, bits = res
+    x2 = x.reshape(-1, x.shape[-1])
+    g2 = g.reshape(-1, g.shape[-1])
+    bits2 = bits.reshape(-1, bits.shape[-1])
+    keep_scale = jnp.asarray(65536.0 / (65536.0 - threshold), x.dtype)
+    h1 = x2 @ w1.astype(x.dtype) + b1.astype(x.dtype)
+    act = jax.nn.gelu(h1, approximate=False)
+    keep = bits2 >= jnp.uint16(threshold)
+    dropped = jnp.where(keep, act * keep_scale, jnp.zeros_like(act))
+    dact_fn = jax.vjp(lambda t: jax.nn.gelu(t, approximate=False), h1)[1]
+    dh_post = g2 @ w2.T.astype(g.dtype)
+    dh_post = jnp.where(keep, dh_post * keep_scale, jnp.zeros_like(dh_post))
+    dh = dact_fn(dh_post)[0]
+    dx = (dh @ w1.T.astype(dh.dtype)).reshape(x.shape).astype(x.dtype)
+    dw1 = (x2.T @ dh).astype(w1.dtype)
+    db1 = jnp.sum(dh, axis=0).astype(b1.dtype)
+    dw2 = (dropped.T @ g2).astype(w2.dtype)
+    db2 = jnp.sum(g2, axis=0).astype(b1.dtype)
+    dbits = np.zeros(bits.shape, jax.dtypes.float0)
+    return dx, dw1, db1, dw2, db2, dbits
+
+
+fused_w8a8_mlp_dropout.defvjp(_mlpd_vjp_fwd, _mlpd_vjp_bwd)
