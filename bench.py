@@ -12,6 +12,7 @@ prints ONE JSON line:
   bert_mlm       text-only MLM forward, seq len 196
   beit_mim       ViT-B/16 vision-only masked-image-modeling step (dVAE targets)
   vqa            VQAv2 finetune step (3129-way head)
+  bert_mlm_w8a8  bert_mlm with the fused-MLP int8 kernel (serving config)
   all            run everything, write BENCHMARKS.json, print the flagship line
 
 vs_baseline: ratio against estimated A100 throughput for the same op (the
@@ -351,7 +352,8 @@ def bench_bert_mlm(batch_size: int, n_warmup: int, n_iters: int) -> dict:
     dt = _timeit(lambda: fwd(variables["params"]), n_warmup, n_iters)
     n_chips = jax.device_count()
     sps = batch_size / dt / n_chips
-    detail = {"batch_size": batch_size, "step_ms": round(dt * 1000, 2)}
+    detail = {"batch_size": batch_size, "step_ms": round(dt * 1000, 2),
+              "quantize": os.environ.get("BENCH_QUANTIZE", "none")}
     detail.update(_cost_analysis(fwd.lower(variables["params"]).compile()))
     _roofline(detail)
     return {
@@ -405,6 +407,12 @@ def main() -> None:
             bs("vlmo_pretrain"), n_warmup, n_iters, model),
         "dvae": lambda: bench_dvae(bs("dvae"), n_warmup, n_iters),
         "bert_mlm": lambda: bench_bert_mlm(bs("bert_mlm"), n_warmup, n_iters),
+        # the fused-MLP int8 serving configuration (ops/quant_pallas.py;
+        # BENCH.md "Pallas fused W8A8"): same forward, quantize=w8a8_pallas_mlp
+        "bert_mlm_w8a8": lambda: (
+            os.environ.__setitem__("BENCH_QUANTIZE", "w8a8_pallas_mlp"),
+            bench_bert_mlm(bs("bert_mlm"), n_warmup, n_iters),
+        )[1],
         "beit_mim": lambda: bench_beit_mim(bs("beit_mim"), n_warmup, n_iters),
         "vqa": lambda: bench_vqa(bs("vqa"), n_warmup, n_iters),
     }
@@ -423,6 +431,8 @@ def main() -> None:
         for name in runners:
             env = dict(os.environ)
             env["BENCH_MODE"] = name
+            if name == "bert_mlm_w8a8":
+                env["BENCH_QUANTIZE"] = "w8a8_pallas_mlp"
             env.setdefault("BENCH_TIMEOUT_S", str(per_cfg_timeout))
             try:
                 proc = subprocess.run(

@@ -167,3 +167,29 @@ def test_from_checkpoint_orbax_roundtrip(tmp_path):
     imgs = np.zeros((2, 32, 32, 3), np.uint8)
     emb = pred.encode_image(imgs)
     assert emb.shape[0] == 2 and np.all(np.isfinite(emb))
+
+
+def test_serving_with_w8a8_pallas_mlp_quantization():
+    """The serving API accepts model.quantize=w8a8_pallas_mlp (the measured
+    int8 serving configuration, BENCH.md "Pallas fused W8A8"): same param
+    tree as bf16, embeddings stay unit-norm and close to the unquantized
+    endpoint's output."""
+    p_ref = _predictor()
+    p_q = _predictor(["model.quantize=w8a8_pallas_mlp"])
+    # identical tree -> the bf16 predictor's params serve the quantized one
+    assert jax.tree.structure(p_ref.variables) == jax.tree.structure(
+        p_q.variables
+    )
+    p_q.variables = p_ref.variables
+
+    img = np.random.default_rng(0).integers(
+        0, 255, (3, 32, 32, 3), np.uint8
+    )
+    e_ref = p_ref.encode_image(img)
+    e_q = p_q.encode_image(img)
+    np.testing.assert_allclose(
+        np.linalg.norm(e_q, axis=-1), 1.0, rtol=1e-3
+    )
+    # quantization noise envelope: cosine similarity stays high
+    cos = (e_ref * e_q).sum(-1)
+    assert (cos > 0.98).all(), cos

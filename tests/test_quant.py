@@ -263,3 +263,22 @@ def test_vlmo_block_trains_under_w8a8(tmp_path):
     assert np.isfinite(float(val))
     assert all(np.isfinite(np.asarray(g, np.float32)).all()
                for g in jax.tree.leaves(grads))
+
+
+def test_fused_mlp_large_hidden_uses_smaller_tile_and_matches():
+    """H > 3072 takes the bm=128 VMEM-budget branch (vlmo_large dims);
+    interpret-mode output must still match the reference MLP."""
+    from exploremultimodal_tpu.ops.quant_pallas import fused_w8a8_mlp
+
+    kx, k1, k2 = jax.random.split(jax.random.key(11), 3)
+    x = jax.random.normal(kx, (40, 64), jnp.float32)
+    w1 = jax.random.normal(k1, (64, 4096), jnp.float32) * 0.05
+    w2 = jax.random.normal(k2, (4096, 64), jnp.float32) * 0.02
+    b1 = jnp.zeros((4096,))
+    b2 = jnp.zeros((64,))
+    y = np.asarray(fused_w8a8_mlp(x, w1, b1, w2, b2, True), np.float32)
+    yr = np.asarray(
+        jax.nn.gelu(x @ w1 + b1, approximate=False) @ w2 + b2, np.float32
+    )
+    rel = np.abs(y - yr) / np.maximum(np.abs(yr), np.abs(yr).mean())
+    assert rel.mean() < 0.03, rel.mean()
