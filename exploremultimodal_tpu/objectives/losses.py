@@ -43,12 +43,21 @@ def masked_cross_entropy(
     """Mean CE / accuracy over `valid` positions (fixed-shape −100-mask
     replacement for the reference's boolean-index gather). Returns
     (loss, mean_acc, count)."""
-    logits = logits.astype(jnp.float32)
     valid = valid.astype(jnp.float32)
     count = valid.sum()
     safe_labels = jnp.where(valid > 0, labels, 0).astype(jnp.int32)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    lf = logits.astype(jnp.float32)
+    # logsumexp-gather CE instead of log_softmax-gather: identical value
+    # (ll = logit[label] - lse) and backward (softmax - onehot), but never
+    # MATERIALIZES the (.., V) log-prob tensor — at the 30522-way MLM head
+    # that write+read was ~10 ms/step of pure HBM traffic (BENCH.md round 3
+    # bert_mlm profile: log_softmax sub/exp fusions). The f32 upcast fuses
+    # into the reduction loops.
+    lse = jax.nn.logsumexp(lf, axis=-1)
+    label_logit = jnp.take_along_axis(
+        lf, safe_labels[..., None], axis=-1
+    )[..., 0]
+    ll = label_logit - lse
     loss = -(ll * valid).sum() / jnp.maximum(count, 1.0)
     preds = jnp.argmax(logits, axis=-1)
     acc = ((preds == safe_labels) * valid).sum() / jnp.maximum(count, 1.0)
