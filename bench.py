@@ -13,6 +13,8 @@ prints ONE JSON line:
   beit_mim       ViT-B/16 vision-only masked-image-modeling step (dVAE targets)
   vqa            VQAv2 finetune step (3129-way head)
   bert_mlm_w8a8  bert_mlm with the fused-MLP int8 kernel (serving config)
+  vqa_serving    the serving API's VQA endpoint forward (infer._vqa_fn), b64
+  vqa_serving_w8a8  same with the fused-MLP int8 kernel
   all            run everything, write BENCHMARKS.json, print the flagship line
 
 vs_baseline: ratio against estimated A100 throughput for the same op (the
@@ -36,6 +38,7 @@ A100_BASELINE = {
     "bert_mlm": 2400.0,  # BERT-base fwd seq 196
     "beit_mim": 700.0,   # ViT-B/16 MIM train step
     "vqa": 480.0,        # VLMo-Base VQA train step (1 fused fwd + bwd)
+    "vqa_serving": 1440.0,  # serving fwd ≈ 3× the train-step estimate (1/3 FLOPs)
 }
 
 
@@ -57,6 +60,7 @@ DEFAULT_BATCH = {
     "bert_mlm": 256,  # fwd-only bench: large batch is the realistic serving shape
     "beit_mim": 32,
     "vqa": 32,
+    "vqa_serving": 64,  # serving bucket size (infer.Predictor max_batch default)
 }
 
 # v5e chip physics for the roofline columns (BENCH.md "Roofline" section):
@@ -365,6 +369,67 @@ def bench_bert_mlm(batch_size: int, n_warmup: int, n_iters: int) -> dict:
     }
 
 
+def bench_vqa_serving(batch_size: int, n_warmup: int, n_iters: int) -> dict:
+    """The serving API's VQA endpoint forward (infer._vqa_fn: uint8 image
+    normalize → fused img-txt stream → 3129-way head), deterministic, at a
+    serving bucket size. BENCH_QUANTIZE=w8a8_pallas_mlp measures the int8
+    fused-MLP configuration on the flagship serving path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from exploremultimodal_tpu.config import load_config
+    from exploremultimodal_tpu.infer import _vqa_fn
+    from exploremultimodal_tpu.models import build_model
+    from exploremultimodal_tpu.models.task import VlmoTask
+
+    quant = os.environ.get("BENCH_QUANTIZE", "none")
+    cfg = load_config(
+        ["model=vlmo_base", "train=finetune_vqa", "compute_dtype=bfloat16",
+         "model.drop_rate=0.0", "model.attn_drop_rate=0.0",
+         "model.drop_path_rate=0.0", f"model.quantize={quant}"]
+    )
+    task = build_model(cfg)
+    c = task.config
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(
+        rng.integers(0, 256, (batch_size, c.img_size, c.img_size, 3)),
+        jnp.uint8,
+    )
+    ids = jnp.asarray(rng.integers(0, 30522, (batch_size, c.max_text_len)),
+                      jnp.int32)
+    mask = jnp.ones((batch_size, c.max_text_len), jnp.int32)
+    dummy = {
+        "image": jnp.zeros((1, c.img_size, c.img_size, 3), jnp.float32),
+        "text_ids": jnp.zeros((1, c.max_text_len), jnp.int32),
+        "text_mask": jnp.ones((1, c.max_text_len), jnp.int32),
+    }
+    variables = task.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        dummy, method=VlmoTask.init_inference,
+    )
+
+    fwd = jax.jit(lambda v, i, t, m: task.apply(v, i, t, m, method=_vqa_fn))
+    dt = _timeit(lambda: fwd(variables, img, ids, mask), n_warmup, n_iters)
+    n_chips = jax.device_count()
+    ips = batch_size / dt / n_chips
+    detail = {"batch_size": batch_size, "step_ms": round(dt * 1000, 2),
+              "quantize": quant, "text_len": int(c.max_text_len)}
+    detail.update(_cost_analysis(
+        fwd.lower(variables, img, ids, mask).compile()))
+    _roofline(detail)
+    return {
+        "metric": "vlmo_base_vqa_serving_fwd_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/s/chip",
+        # denominator in the same family as the others: a forward pass is
+        # ~1/3 of a train step's FLOPs, so the A100 serving estimate is
+        # 3 × the 480 img/s train-step estimate (derivation in BENCH.md)
+        "vs_baseline": round(ips / A100_BASELINE["vqa_serving"], 3),
+        "detail": detail,
+    }
+
+
 def _arm_watchdog(default_s: float = 7200.0) -> None:
     """Hard wall-clock limit (BENCH_TIMEOUT_S, default 2h; 5h for all-mode):
     if the tunneled TPU backend wedges mid-run (observed: jax.devices()/
@@ -415,6 +480,12 @@ def main() -> None:
         )[1],
         "beit_mim": lambda: bench_beit_mim(bs("beit_mim"), n_warmup, n_iters),
         "vqa": lambda: bench_vqa(bs("vqa"), n_warmup, n_iters),
+        "vqa_serving": lambda: bench_vqa_serving(
+            bs("vqa_serving"), n_warmup, n_iters),
+        "vqa_serving_w8a8": lambda: (
+            os.environ.__setitem__("BENCH_QUANTIZE", "w8a8_pallas_mlp"),
+            bench_vqa_serving(bs("vqa_serving"), n_warmup, n_iters),
+        )[1],
     }
 
     if mode == "all":
