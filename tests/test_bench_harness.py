@@ -59,7 +59,8 @@ def test_all_mode_isolates_config_failures(tmp_path):
     )
     results = json.load(open(tmp_path / "BENCHMARKS.json"))
     assert set(results) == {"vlmo_pretrain", "dvae", "bert_mlm",
-                            "bert_mlm_w8a8", "beit_mim", "vqa"}
+                            "bert_mlm_w8a8", "beit_mim", "vqa",
+                            "vqa_serving", "vqa_serving_w8a8"}
     for v in results.values():  # every config recorded a structured failure
         assert v.get("metric") == "error" or "error" in v
     # the flagship line is still printed for the driver
