@@ -9,6 +9,7 @@ prints ONE JSON line:
   vlmo_pretrain  full jitted pretrain step: on-device preprocess + frozen
                  dVAE tokenize + MLM+ITC+ITM+MIM + backward + AdamW  [default]
   dvae           DALL-E dVAE encoder tokenization, 256×256 → 32×32 codes
+  dvae_w8a8      dvae with the trunk convs on the int8 MXU (quant_conv)
   bert_mlm       text-only MLM forward, seq len 196
   beit_mim       ViT-B/16 vision-only masked-image-modeling step (dVAE targets)
   vqa            VQAv2 finetune step (3129-way head)
@@ -280,9 +281,11 @@ def bench_dvae(batch_size: int, n_warmup: int, n_iters: int) -> dict:
     from exploremultimodal_tpu.models.dvae import DalleVAE, map_pixels
 
     # bf16 compute (vs the fp16 torch A100 baseline); fused=False — the XLA
-    # conv path beats the Pallas fused kernel ~2.2× at this shape (BENCH.md)
+    # conv path beats the Pallas fused kernel ~2.2× at this shape (BENCH.md).
+    # BENCH_DVAE_QUANT=w8a8|w8a8_shifted: trunk convs on the int8 MXU
     vae = DalleVAE(256, dtype=jnp.bfloat16,
-                   fused=os.environ.get("BENCH_DVAE_FUSED", "") == "1")
+                   fused=os.environ.get("BENCH_DVAE_FUSED", "") == "1",
+                   quantize=os.environ.get("BENCH_DVAE_QUANT", "none"))
     vae.init_random(jax.random.key(0))
     img = jnp.asarray(
         np.random.default_rng(0).random((batch_size, 256, 256, 3)), jnp.float32
@@ -471,6 +474,11 @@ def main() -> None:
         "vlmo_pretrain": lambda: bench_vlmo_pretrain(
             bs("vlmo_pretrain"), n_warmup, n_iters, model),
         "dvae": lambda: bench_dvae(bs("dvae"), n_warmup, n_iters),
+        # int8-MXU trunk convs (ops/quant_conv.py; BENCH.md "dvae int8")
+        "dvae_w8a8": lambda: (
+            os.environ.__setitem__("BENCH_DVAE_QUANT", "w8a8"),
+            bench_dvae(bs("dvae"), n_warmup, n_iters),
+        )[1],
         "bert_mlm": lambda: bench_bert_mlm(bs("bert_mlm"), n_warmup, n_iters),
         # the fused-MLP int8 serving configuration (ops/quant_pallas.py;
         # BENCH.md "Pallas fused W8A8"): same forward, quantize=w8a8_pallas_mlp

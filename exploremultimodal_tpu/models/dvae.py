@@ -46,16 +46,49 @@ def unmap_pixels(x: jax.Array) -> jax.Array:
     )
 
 
+class _QuantConvCore(nn.Module):
+    """nn.Conv's exact parameter tree (kernel HWIO + bias, lecun_normal)
+    with the forward routed through the int8 MXU (ops/quant_conv.py) —
+    checkpoints/imports are interchangeable with the bf16 path."""
+
+    features: int
+    kernel_size: int
+    pad: int
+    impl: str = "direct"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        from ..ops.quant_conv import quant_conv
+
+        y = quant_conv(x, kernel, self.pad, self.impl)
+        return y + bias.astype(y.dtype)
+
+
 class _Conv(nn.Module):
     """SAME-padded conv matching torch F.conv2d(padding=(kw-1)//2)."""
 
     features: int
     kernel: int
     dtype: Any = jnp.float32
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         pad = (self.kernel - 1) // 2
+        if self.quantize != "none":
+            impl = {"w8a8": "direct", "w8a8_shifted": "shifted"}[self.quantize]
+            return _QuantConvCore(
+                self.features, self.kernel, pad, impl, name="conv"
+            )(x.astype(self.dtype))
         return nn.Conv(
             self.features,
             kernel_size=(self.kernel, self.kernel),
@@ -72,19 +105,21 @@ class EncoderBlock(nn.Module):
     n_out: int
     post_gain: float
     dtype: Any = jnp.float32
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         n_hid = self.n_out // 4
+        q = self.quantize
         identity = (
-            _Conv(self.n_out, 1, self.dtype, name="id_conv")(x)
+            _Conv(self.n_out, 1, self.dtype, q, name="id_conv")(x)
             if x.shape[-1] != self.n_out
             else x
         )
-        h = _Conv(n_hid, 3, self.dtype, name="conv_1")(nn.relu(x))
-        h = _Conv(n_hid, 3, self.dtype, name="conv_2")(nn.relu(h))
-        h = _Conv(n_hid, 3, self.dtype, name="conv_3")(nn.relu(h))
-        h = _Conv(self.n_out, 1, self.dtype, name="conv_4")(nn.relu(h))
+        h = _Conv(n_hid, 3, self.dtype, q, name="conv_1")(nn.relu(x))
+        h = _Conv(n_hid, 3, self.dtype, q, name="conv_2")(nn.relu(h))
+        h = _Conv(n_hid, 3, self.dtype, q, name="conv_3")(nn.relu(h))
+        h = _Conv(self.n_out, 1, self.dtype, q, name="conv_4")(nn.relu(h))
         return identity + self.post_gain * h
 
 
@@ -118,18 +153,22 @@ class DalleEncoder(nn.Module):
     n_blk_per_group: int = 2
     vocab_size: int = 8192
     dtype: Any = jnp.float32
+    # "w8a8"/"w8a8_shifted": trunk convs on the int8 MXU (ops/quant_conv.py);
+    # the final fp32 vocab projection is never quantized (argmax stability)
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         n_layers = self.group_count * self.n_blk_per_group
         post_gain = 1.0 / n_layers**2
 
-        x = _Conv(self.n_hid, 7, self.dtype, name="input_conv")(x)
+        x = _Conv(self.n_hid, 7, self.dtype, self.quantize,
+                  name="input_conv")(x)
         widths = (1, 2, 4, 8)
         for g, mult in enumerate(widths, start=1):
             for b in range(1, self.n_blk_per_group + 1):
                 x = EncoderBlock(
-                    mult * self.n_hid, post_gain, self.dtype,
+                    mult * self.n_hid, post_gain, self.dtype, self.quantize,
                     name=f"group_{g}_block_{b}",
                 )(x)
             if g < len(widths):
@@ -187,9 +226,12 @@ class DalleVAE:
     small-channel bottleneck convs underfill the MXU as shifted matmuls."""
 
     def __init__(self, image_size: int, encoder_params=None, decoder_params=None,
-                 dtype: Any = jnp.float32, fused: bool = False):
+                 dtype: Any = jnp.float32, fused: bool = False,
+                 quantize: str = "none"):
+        if fused and quantize != "none":
+            raise ValueError("fused Pallas and int8 encoder paths are exclusive")
         self.image_size = image_size
-        self.encoder = DalleEncoder(dtype=dtype)
+        self.encoder = DalleEncoder(dtype=dtype, quantize=quantize)
         self.decoder = DalleDecoder(dtype=dtype)
         self.encoder_params = encoder_params
         self.decoder_params = decoder_params
@@ -394,17 +436,18 @@ class _ResBlock(nn.Module):
 
 
 def create_d_vae(weight_path: str, d_vae_type: str, image_size: int,
-                 dtype: Any = jnp.float32):
+                 dtype: Any = jnp.float32, quantize: str = "none"):
     """Tokenizer factory (objectives.py:595-628). dtype=bfloat16 halves the
     conv-stack HBM traffic for the training path; the token-parity benchmark
-    path must use float32 (argmax tie-breaks)."""
+    path must use float32 (argmax tie-breaks). quantize="w8a8" runs the
+    trunk convs on the int8 MXU (train.discrete_vae_quantize)."""
     if d_vae_type == "dall-e":
         vae = load_dalle_vae(weight_path, image_size)
-        vae.encoder = vae.encoder.clone(dtype=dtype)
+        vae.encoder = vae.encoder.clone(dtype=dtype, quantize=quantize)
         vae.decoder = vae.decoder.clone(dtype=dtype)
         return vae
     if d_vae_type == "random":  # untrained tokenizer for tests/smoke runs
-        vae = DalleVAE(image_size, dtype=dtype)
+        vae = DalleVAE(image_size, dtype=dtype, quantize=quantize)
         vae.init_random(jax.random.key(0))
         return vae
     raise NotImplementedError(d_vae_type)

@@ -109,6 +109,7 @@ class Trainer:
                 self._dvae_type(),
                 cfg.model.img_size // 2,
                 dtype=self.task.config.dtype,
+                quantize=cfg.train.get("discrete_vae_quantize", "none"),
             )
 
         self.data = MultiTaskData(cfg)

@@ -160,6 +160,43 @@ def test_fused_encoder_blocks_match_xla_and_tokens_bit_exact():
     )
 
 
+def test_quantized_encoder_param_tree_and_token_agreement():
+    """int8 trunk (ops/quant_conv.py): identical param tree to the bf16
+    encoder (checkpoints/imports interchangeable), the two int8 emitters
+    (direct conv vs shifted-matmul decomposition) bitwise-equal (int8
+    arithmetic is exact, the dequant mults are identical), and the token
+    ids in high agreement with the fp32 path on the torch-oracle weight
+    fixture (the tokenizer is frozen; only argmax over the fp32 vocab
+    head matters)."""
+    from exploremultimodal_tpu.models.dvae import DalleEncoder
+
+    rng = np.random.default_rng(0)
+    state = make_torch_state(rng)
+    params = import_dalle_torch_state(state, "encoder")
+    img = map_pixels(jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32))
+
+    kw = dict(n_hid=N_HID, n_blk_per_group=N_BLK, vocab_size=VOCAB)
+    enc_f32 = DalleEncoder(**kw)
+    enc_q = DalleEncoder(**kw, quantize="w8a8")
+    enc_qs = DalleEncoder(**kw, quantize="w8a8_shifted")
+
+    # identical parameter tree: the imported fp32 params drive all paths
+    ref_shapes = jax.tree_util.tree_map(jnp.shape, enc_f32.init(jax.random.key(0), img)["params"])
+    q_shapes = jax.tree_util.tree_map(jnp.shape, enc_q.init(jax.random.key(0), img)["params"])
+    assert ref_shapes == q_shapes
+
+    logits_f32 = np.asarray(enc_f32.apply({"params": params}, img))
+    logits_q = np.asarray(enc_q.apply({"params": params}, img))
+    logits_qs = np.asarray(enc_qs.apply({"params": params}, img))
+
+    np.testing.assert_array_equal(logits_q, logits_qs)  # emitters bit-exact
+
+    ids_f32 = logits_f32.argmax(-1).ravel()
+    ids_q = logits_q.argmax(-1).ravel()
+    agreement = float((ids_f32 == ids_q).mean())
+    assert agreement >= 0.9, f"int8 token agreement {agreement:.3f} < 0.9"
+
+
 def test_encoder_downsamples_8x_and_facade():
     vae = DalleVAE(image_size=64)
     # narrow test-sized stacks
