@@ -204,6 +204,10 @@ def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
             f"parallel.remat={os.environ.get('BENCH_REMAT', 'false')}",
             # BENCH_QUANTIZE=w8a8: backbone dots on the int8 MXU (ops/quant.py)
             f"model.quantize={os.environ.get('BENCH_QUANTIZE', 'none')}",
+            # BENCH_DVAE_QUANT=w8a8: frozen tokenizer trunk on the int8 MXU
+            # (ops/quant_conv.py; headline-step A/B for the dvae_w8a8 mode)
+            "train.discrete_vae_quantize="
+            + os.environ.get("BENCH_DVAE_QUANT", "none"),
             "train.warmup_steps=2",
             "exp_dir=/tmp/emm_bench",
             "log_level=error",
@@ -476,7 +480,7 @@ def main() -> None:
         "dvae": lambda: bench_dvae(bs("dvae"), n_warmup, n_iters),
         # int8-MXU trunk convs (ops/quant_conv.py; BENCH.md "dvae int8")
         "dvae_w8a8": lambda: (
-            os.environ.__setitem__("BENCH_DVAE_QUANT", "w8a8"),
+            os.environ.setdefault("BENCH_DVAE_QUANT", "w8a8"),
             bench_dvae(bs("dvae"), n_warmup, n_iters),
         )[1],
         "bert_mlm": lambda: bench_bert_mlm(bs("bert_mlm"), n_warmup, n_iters),
