@@ -302,7 +302,8 @@ def bench_dvae(batch_size: int, n_warmup: int, n_iters: int) -> dict:
     ids = tokenize(img)
     assert ids.shape == (batch_size, 32 * 32)
     detail = {"batch_size": batch_size, "step_ms": round(dt * 1000, 2),
-              "tokens": "32x32"}
+              "tokens": "32x32",
+              "quantize": os.environ.get("BENCH_DVAE_QUANT", "none")}
     detail.update(_cost_analysis(tokenize.lower(img).compile()))
     _roofline(detail)
     return {

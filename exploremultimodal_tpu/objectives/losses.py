@@ -75,8 +75,11 @@ def gather_masked_positions(
     stable argsort on ¬valid brings the masked positions (in sequence order)
     to the front and the first `k` are gathered — (B, L, V) logits shrink to
     (B, k, V). Rows with more than `k` masked positions drop the tail from
-    the loss; caps are sized so that is a multi-sigma tail event (BENCH.md
-    round 3).
+    the loss; overflow is counted in-graph (`{mlm,mim}_dropped_positions`
+    metric) and the caps are derived from measured masking distributions in
+    BENCH.md §"Gather-cap sizing" (MIM: generator budget-bounded at 75 ≤ cap
+    78, data/masking.py:67-72 — zero drops by construction; MLM: measured
+    WWM overshoot distribution on the fixture corpus).
     """
     order = jnp.argsort(~valid, axis=1, stable=True)[:, :k]
     g_feats = jnp.take_along_axis(feats, order[..., None], axis=1)
@@ -137,7 +140,13 @@ def compute_mlm(
 
     valid = labels != -100
     k = _gather_cap(task.config.mlm_gather_cap, labels.shape[1])
+    extra = {}
     if k < labels.shape[1]:
+        # in-graph overflow counter: masked positions beyond the cap fall out
+        # of the loss; this must stay ~0 in production (BENCH.md cap sizing)
+        extra["mlm_dropped_positions"] = (
+            jnp.maximum(valid.sum(axis=1) - k, 0).sum().astype(jnp.float32)
+        )
         txt_feats, labels, valid = gather_masked_positions(
             txt_feats, labels, valid, k
         )
@@ -147,6 +156,7 @@ def compute_mlm(
         "mlm_task_loss": loss,
         "mlm_mean_acc": acc,
         "mlm_count": count,
+        **extra,
     }
 
 
@@ -511,7 +521,11 @@ def compute_mim(task, batch: Batch, deterministic: bool = True) -> dict:
     patch_feats = img_feats[:, 1:]  # drop CLS
     valid = bool_masked > 0
     k = _gather_cap(task.config.mim_gather_cap, labels.shape[1])
+    extra = {}
     if k < labels.shape[1]:
+        extra["mim_dropped_positions"] = (
+            jnp.maximum(valid.sum(axis=1) - k, 0).sum().astype(jnp.float32)
+        )
         patch_feats, labels, valid = gather_masked_positions(
             patch_feats, labels, valid, k
         )
@@ -521,6 +535,7 @@ def compute_mim(task, batch: Batch, deterministic: bool = True) -> dict:
         "mim_task_loss": loss,
         "mim_mean_acc": acc,
         "mim_count": count,
+        **extra,
     }
 
 

@@ -61,7 +61,8 @@ from exploremultimodal_tpu.train.state import (
 from exploremultimodal_tpu.utils import MetricLogger, create_logger
 from exploremultimodal_tpu.utils.experiment_log import ExperimentLogger
 
-METRIC_KEYS = ("_task_loss", "_Loss", "_mean_acc", "_mean_score", "itc_temp")
+METRIC_KEYS = ("_task_loss", "_Loss", "_mean_acc", "_mean_score", "itc_temp",
+               "_dropped_positions")
 
 
 def _metrics_from_outputs(outputs: dict) -> dict:

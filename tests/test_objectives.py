@@ -596,3 +596,54 @@ def test_mlm_and_mim_gather_cap_matches_full_head():
             np.asarray(out_full[key]), np.asarray(out_cap[key]),
             rtol=2e-5, err_msg=key,
         )
+
+
+def test_gather_cap_overflow_counter():
+    """`{mlm,mim}_dropped_positions` counts exactly the masked positions
+    beyond the cap (VERDICT r3 ask 7: instrumented, not asserted), is zero
+    when everything fits, and flows into the trainer's metric filter."""
+    cfg = VlmoConfig(
+        img_size=32, patch_size=16, embed_dim=16, depth=2, num_heads=2,
+        fusion_layer=1, max_text_len=12, vocab_size=50, img_vocab_size=24,
+        loss_names=("mlm", "mim"), phase="pretrain_mum",
+        drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+        mlm_gather_cap=0.25, mim_gather_cap=0.5,  # k_mlm=3, k_mim=2
+    )
+    rng = np.random.default_rng(2)
+    B, L, P = 2, 12, 4
+    labels = np.full((B, L), -100)
+    labels[0, 2:7] = rng.integers(0, 50, 5)   # 5 masked > k=3 → 2 dropped
+    labels[1, 1:4] = rng.integers(0, 50, 3)   # 3 masked = k → 0 dropped
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, 32, 32, 3)), jnp.float32),
+        "text_ids": jnp.asarray(rng.integers(0, 50, (B, L))),
+        "text_ids_mlm": jnp.asarray(rng.integers(0, 50, (B, L))),
+        "text_labels_mlm": jnp.asarray(labels),
+        "text_mask": jnp.ones((B, L), jnp.int32),
+        "mim_labels": jnp.asarray(rng.integers(0, 24, (B, P))),
+        # row0: 3 masked patches > k=2 → 1 dropped; row1: 1 → 0 dropped
+        "image_bool_masked_pos": jnp.asarray([[1, 1, 1, 0], [0, 1, 0, 0]]),
+    }
+    task = VlmoTask(cfg)
+    variables = task.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, batch
+    )
+    out = task.apply(variables, batch)
+    assert float(out["mlm_dropped_positions"]) == 2.0
+    assert float(out["mim_dropped_positions"]) == 1.0
+    # loss covers exactly k positions per overflowing row
+    assert float(out["mlm_count"]) == 3 + 3
+    assert float(out["mim_count"]) == 2 + 1
+
+    from exploremultimodal_tpu.train.trainer import _metrics_from_outputs
+
+    kept = _metrics_from_outputs(out)
+    assert "mlm_dropped_positions" in kept and "mim_dropped_positions" in kept
+
+    # no overflow → counter present and exactly zero
+    labels2 = np.full((B, L), -100)
+    labels2[:, 2] = 1
+    out2 = task.apply(
+        variables, {**batch, "text_labels_mlm": jnp.asarray(labels2)}
+    )
+    assert float(out2["mlm_dropped_positions"]) == 0.0
