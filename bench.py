@@ -27,7 +27,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
@@ -101,27 +100,12 @@ def _roofline(detail: dict) -> None:
     detail["pct_hbm_upper"] = round(100 * gbps / V5E_HBM_GBPS, 1)
 
 
-def _sync(out) -> None:
-    """Force completion via a host readback — on tunneled backends (axon)
-    block_until_ready returns before remote execution finishes, so a scalar
-    device→host transfer is the only reliable fence."""
-    import jax
-    import numpy as np
-
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(jax.device_get(leaf)).ravel()[:1]
-
-
 def _timeit(step, n_warmup: int, n_iters: int) -> float:
-    out = None
-    for _ in range(n_warmup):
-        out = step()
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = step()
-    _sync(out)
-    return (time.perf_counter() - t0) / n_iters
+    # shared timing core (utils/timing.py): readback-fenced, same
+    # methodology as the serving-latency sweep and throughput_mode
+    from exploremultimodal_tpu.utils.timing import timeit
+
+    return timeit(step, n_warmup, n_iters)
 
 
 def _trainer(overrides: list[str]):

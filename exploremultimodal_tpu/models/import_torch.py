@@ -280,3 +280,56 @@ def load_torch_checkpoint(path: str) -> dict:
                 return obj[key]
         return obj
     return obj.state_dict()
+
+
+# flax path → torch name (inverse mapping) ---------------------------------
+
+def _inverse_top() -> dict[tuple, str]:
+    inv: dict[tuple, str] = {}
+    for torch_key, path in _TOP.items():
+        # two torch aliases can share a path (nlvr2_embedding); first wins
+        inv.setdefault(tuple(path), torch_key)
+    return inv
+
+
+def export_reference_state(params: Any) -> dict[str, np.ndarray]:
+    """Flax task param tree → reference-format state dict (torch names +
+    layouts) — the exact inverse of `import_torch_state`'s mapping, so
+    weights trained here round-trip into the reference's .pth format
+    (vlmo_module.py state-dict namespace). Flax paths with no reference
+    counterpart (e.g. ISDA running stats) are skipped; callers can diff the
+    returned keys against the tree if they need completeness."""
+    inv_top = _inverse_top()
+    inv_block = {tuple(path): name for name, path in _BLOCK_LEAF.items()}
+    out: dict[str, np.ndarray] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = tuple(str(getattr(p, "key", p)) for p in path)
+        arr = np.asarray(leaf)
+        torch_key = None
+        if keys in inv_top:
+            torch_key = inv_top[keys]
+        elif (
+            len(keys) >= 3
+            and keys[0] == "transformer"
+            and keys[1].startswith("blocks_")
+        ):
+            idx = keys[1].removeprefix("blocks_")
+            rest = keys[2:]
+            if rest in inv_block:
+                torch_key = f"transformer.blocks.{idx}.{inv_block[rest]}"
+            elif rest[0].startswith("mlp_") and len(rest) == 3:
+                route = rest[0].removeprefix("mlp_")
+                wb = "weight" if rest[2] == "kernel" else "bias"
+                torch_key = (
+                    f"transformer.blocks.{idx}.mlp.{route}.{rest[1]}.{wb}"
+                )
+        if torch_key is None:
+            continue
+        # inverse layout transform (see _transform)
+        if keys[-1] == "kernel":
+            if arr.ndim == 2:
+                arr = arr.T
+            elif arr.ndim == 4:
+                arr = np.transpose(arr, (3, 2, 0, 1))
+        out[torch_key] = arr
+    return out

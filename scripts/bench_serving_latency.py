@@ -18,7 +18,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
@@ -26,13 +25,6 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BUCKETS = (1, 8, 16, 32, 64)
-
-
-def _sync(out) -> None:
-    import jax
-    import numpy as np
-
-    np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0])).ravel()[:1]
 
 
 def sweep(quant: str, n_warmup: int = 3, n_iters: int = 20) -> list[dict]:
@@ -44,6 +36,7 @@ def sweep(quant: str, n_warmup: int = 3, n_iters: int = 20) -> list[dict]:
     from exploremultimodal_tpu.infer import _vqa_fn
     from exploremultimodal_tpu.models import build_model
     from exploremultimodal_tpu.models.task import VlmoTask
+    from exploremultimodal_tpu.utils.timing import timeit
 
     cfg = load_config(
         ["model=vlmo_base", "train=finetune_vqa", "compute_dtype=bfloat16",
@@ -71,15 +64,7 @@ def sweep(quant: str, n_warmup: int = 3, n_iters: int = 20) -> list[dict]:
         ids = jnp.asarray(
             rng.integers(0, 30522, (b, c.max_text_len)), jnp.int32)
         mask = jnp.ones((b, c.max_text_len), jnp.int32)
-        out = None
-        for _ in range(n_warmup):
-            out = fwd(variables, img, ids, mask)
-        _sync(out)
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            out = fwd(variables, img, ids, mask)
-        _sync(out)
-        dt = (time.perf_counter() - t0) / n_iters
+        dt = timeit(lambda: fwd(variables, img, ids, mask), n_warmup, n_iters)
         row = {"mode": quant, "bucket": b,
                "latency_ms": round(dt * 1e3, 2),
                "img_per_s": round(b / dt, 1)}
