@@ -282,3 +282,57 @@ def test_fused_mlp_large_hidden_uses_smaller_tile_and_matches():
     )
     rel = np.abs(y - yr) / np.maximum(np.abs(yr), np.abs(yr).mean())
     assert rel.mean() < 0.03, rel.mean()
+
+
+def test_w8a8_endpoint_agreement_guard():
+    """Endpoint-level int8 accuracy guard (VERDICT r3 ask 3): the VQA-style
+    argmax answer and masked-MLM-style top-1 token under w8a8_pallas_mlp must
+    agree with bf16 on >=90% of rows at a realistic logit scale, and the
+    per-row max relative logit error must stay small. Kernel changes that
+    silently degrade endpoint accuracy fail here; the full-shape on-chip
+    numbers live in BENCH.md 'int8 endpoint accuracy'
+    (scripts/measure_int8_accuracy.py)."""
+    from exploremultimodal_tpu.models.vlmo import VLMO
+
+    def build(q):
+        return VLMO(
+            img_size=32, patch_size=16, embed_dim=64, depth=2, num_heads=2,
+            max_text_len=8, vocab_size=512, fusion_layer=1,
+            dtype=jnp.bfloat16, quantize=q,
+        )
+
+    B = 24
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(B, 32, 32, 3)), jnp.float32)
+    txt = jnp.asarray(rng.integers(0, 512, (B, 8)), jnp.int32)
+    mask = jnp.ones((B, 8), jnp.int32)
+
+    variables = build("none").init(
+        jax.random.key(0), img=img, txt=txt, txt_mask=mask,
+        method="forward_features",
+    )
+    # 512-way classifier head over pooled features (VQA-head shape analogue)
+    W = jnp.asarray(rng.normal(size=(64, 512)) / 8.0, jnp.float32)
+
+    outs = {}
+    for q in ("none", "w8a8_pallas_mlp"):
+        feats, _ = build(q).apply(
+            variables, img=img, txt=txt, txt_mask=mask,
+            deterministic=True, method="forward_features",
+        )
+        outs[q] = np.asarray(
+            feats.astype(jnp.float32) @ W, np.float32
+        )
+
+    lo16, lo8 = outs["none"], outs["w8a8_pallas_mlp"]
+    # row 0 of each sequence = CLS-analogue "answer" logits
+    a16, a8 = lo16[:, 0].argmax(-1), lo8[:, 0].argmax(-1)
+    agreement = float((a16 == a8).mean())
+    assert agreement >= 0.9, f"answer agreement {agreement}"
+    # token-level top-1 agreement across all positions (MLM analogue)
+    t16, t8 = lo16.argmax(-1), lo8.argmax(-1)
+    tok_agree = float((t16 == t8).mean())
+    assert tok_agree >= 0.9, f"token agreement {tok_agree}"
+    denom = np.abs(lo16).max(axis=-1) + 1e-9
+    rel = np.abs(lo16 - lo8).max(axis=-1) / denom
+    assert float(np.median(rel)) < 0.05, float(np.median(rel))
