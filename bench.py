@@ -16,6 +16,8 @@ prints ONE JSON line:
   bert_mlm_w8a8  bert_mlm with the fused-MLP int8 kernel (serving config)
   vqa_serving    the serving API's VQA endpoint forward (infer._vqa_fn), b64
   vqa_serving_w8a8  same with the fused-MLP int8 kernel
+  vlmo_large_pretrain  the full pretrain step at the reference's documented
+                 operating scale (vlmo_large, misc/Dockerfile:24-28), b16
   all            run everything, write BENCHMARKS.json, print the flagship line
 
 vs_baseline: ratio against estimated A100 throughput for the same op (the
@@ -34,6 +36,12 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 # estimated A100 reference throughputs (img/s or samples/s per chip); BENCH.md
 A100_BASELINE = {
     "vlmo_pretrain": 150.0,
+    # large/huge: backbone cost scales ~3.56x vs base (24·1024² / 12·768²
+    # block-params ratio) while the dVAE/head terms stay fixed; the same
+    # 40%-MFU A100 estimate gives 150/3.56 ≈ 42 img/s (the reference's real
+    # operating point — misc/Dockerfile:24-28 trains vlmo_large)
+    "vlmo_large_pretrain": 42.0,
+    "vlmo_huge_pretrain": 42.0,  # reference "huge" == large scaling (SURVEY §2.2)
     "dvae": 1100.0,      # 256² dVAE encoder fwd, fp16 torch
     "bert_mlm": 2400.0,  # BERT-base fwd seq 196
     "beit_mim": 700.0,   # ViT-B/16 MIM train step
@@ -56,6 +64,8 @@ def _setup_cache() -> None:
 # BENCHMARKS.json produced with these; override all with BENCH_BATCH)
 DEFAULT_BATCH = {
     "vlmo_pretrain": 32,
+    "vlmo_large_pretrain": 16,  # largest validated on one v5e chip (BENCH.md)
+    "vlmo_huge_pretrain": 16,
     "dvae": 32,
     "bert_mlm": 256,  # fwd-only bench: large batch is the realistic serving shape
     "beit_mim": 32,
@@ -98,6 +108,14 @@ def _roofline(detail: dict) -> None:
     detail["pct_peak"] = round(100 * tflops / V5E_PEAK_TFLOPS, 1)
     detail["xla_bytes_gbps_upper"] = round(gbps, 1)
     detail["pct_hbm_upper"] = round(100 * gbps / V5E_HBM_GBPS, 1)
+
+
+def _sync(out) -> None:
+    # shared fence (utils/timing.py) — kept as an alias for the profiler
+    # scripts that fence through the bench module
+    from exploremultimodal_tpu.utils.timing import sync
+
+    sync(out)
 
 
 def _timeit(step, n_warmup: int, n_iters: int) -> float:
@@ -167,9 +185,18 @@ def _train_step_bench(
 
 def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
                         model: str) -> dict:
+    size = model.removeprefix("vlmo_")
+    baseline_key = (
+        f"vlmo_{size}_pretrain"
+        if f"vlmo_{size}_pretrain" in A100_BASELINE
+        else "vlmo_pretrain"
+    )
+    # large/huge default to the remat policy the on-chip A/B picked
+    # (BENCH.md r4 "vlmo_large"); BENCH_REMAT still overrides
+    default_remat = "true" if size in ("large", "huge") else "false"
     result = _train_step_bench(
-        "vlmo_base_pretrain_step_images_per_sec_per_chip",
-        "vlmo_pretrain",
+        f"vlmo_{size}_pretrain_step_images_per_sec_per_chip",
+        baseline_key,
         [
             f"model={model}",
             "train=pretrain_mum",
@@ -184,8 +211,8 @@ def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
             # the reference-default scenario for the in-kernel-dropout A/B
             f"model.attn_drop_rate={os.environ.get('BENCH_ATTN_DROP', '0.0')}",
             f"attn_impl={os.environ.get('BENCH_ATTN', 'recompute')}",
-            # BENCH_REMAT: false (default) | true | dots (selective policy)
-            f"parallel.remat={os.environ.get('BENCH_REMAT', 'false')}",
+            # BENCH_REMAT: false (default; true for large/huge) | true | dots
+            f"parallel.remat={os.environ.get('BENCH_REMAT', default_remat)}",
             # BENCH_QUANTIZE=w8a8: backbone dots on the int8 MXU (ops/quant.py)
             f"model.quantize={os.environ.get('BENCH_QUANTIZE', 'none')}",
             # BENCH_DVAE_QUANT=w8a8: frozen tokenizer trunk on the int8 MXU
@@ -462,6 +489,9 @@ def main() -> None:
     runners = {
         "vlmo_pretrain": lambda: bench_vlmo_pretrain(
             bs("vlmo_pretrain"), n_warmup, n_iters, model),
+        # the reference's documented operating point (misc/Dockerfile:24-28)
+        "vlmo_large_pretrain": lambda: bench_vlmo_pretrain(
+            bs("vlmo_large_pretrain"), n_warmup, n_iters, "vlmo_large"),
         "dvae": lambda: bench_dvae(bs("dvae"), n_warmup, n_iters),
         # int8-MXU trunk convs (ops/quant_conv.py; BENCH.md "dvae int8")
         "dvae_w8a8": lambda: (

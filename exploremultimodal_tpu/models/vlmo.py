@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -96,6 +98,14 @@ class Mlp(nn.Module):
         x = q_dense(mode, self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = FastDropout(self.drop_rate, deterministic=deterministic)(x)
+        if os.environ.get("EMM_MLP_BARRIER", "") == "1":
+            # A/B knob (BENCH.md r4 bert_mlm study): at (B·L)=50k fwd-only
+            # shapes XLA builds a mega-fusion that nests fc1's matmul inside
+            # fc2's as a recomputed kOutput producer (+ residual + next-LN
+            # stats), running at ~56 TFLOP/s vs ~170 for the clean qkv dots;
+            # this barrier materializes the gelu(fc1) activation and keeps
+            # both dots on the fast emitter path.
+            x = jax.lax.optimization_barrier(x)
         x = q_dense(mode, self.out_dim, dtype=self.dtype, name="fc2")(x)
         x = FastDropout(self.drop_rate, deterministic=deterministic)(x)
         return x

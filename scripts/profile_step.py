@@ -118,33 +118,95 @@ def main() -> None:
 
     import bench
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
-    trainer, state, batch = bench._trainer([
-        "model=vlmo_base",
-        "train=pretrain_mum",
-        "train.datasets=[synthetic]",
-        f"data.batch_size={batch_size}",
-        f"data.synthetic_size={4 * batch_size}",
-        "data.num_workers=4",
-        "train.discrete_vae_type=random",
-        "compute_dtype=bfloat16",
-        f"model.attn_drop_rate={os.environ.get('BENCH_ATTN_DROP', '0.0')}",
-        f"attn_impl={os.environ.get('BENCH_ATTN', 'recompute')}",
-        f"parallel.remat={os.environ.get('BENCH_REMAT', 'false')}",
-        "train.warmup_steps=2",
-        "exp_dir=/tmp/emm_profile",
-        "log_level=error",
-    ])
-    train_step = trainer.make_train_step()
-    epoch = jnp.asarray(0.0)
+    # PROFILE_MODE: vlmo_pretrain (default) | beit_mim | bert_mlm — same
+    # configs as the matching bench.py modes, so profiles and BENCHMARKS.json
+    # rows describe the same program
+    mode = os.environ.get("PROFILE_MODE", "vlmo_pretrain")
+    batch_size = int(os.environ.get(
+        "BENCH_BATCH", str(bench.DEFAULT_BATCH.get(mode, 32))
+    ))
+
+    if mode == "bert_mlm":
+        import numpy as np
+
+        from exploremultimodal_tpu.config import load_config
+        from exploremultimodal_tpu.models import build_model
+        from exploremultimodal_tpu.models.task import VlmoTask
+
+        cfg = load_config(
+            ["model=vlmo_base", "train=pretrain_txt",
+             "model.max_text_len=196", "compute_dtype=bfloat16",
+             "model.drop_rate=0.0", "model.attn_drop_rate=0.0",
+             "model.drop_path_rate=0.0",
+             f"model.quantize={os.environ.get('BENCH_QUANTIZE', 'none')}"]
+        )
+        task = build_model(cfg)
+        rng = np.random.default_rng(0)
+        L = 196
+        fwd_batch = {
+            "text_ids": jnp.asarray(rng.integers(0, 30522, (batch_size, L))),
+            "text_ids_mlm": jnp.asarray(
+                rng.integers(0, 30522, (batch_size, L))),
+            "text_labels_mlm": jnp.asarray(
+                np.where(rng.random((batch_size, L)) < 0.15,
+                         rng.integers(0, 30522, (batch_size, L)), -100)),
+            "text_mask": jnp.ones((batch_size, L), jnp.int32),
+        }
+        variables = task.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            fwd_batch, method=VlmoTask.init_streams,
+        )
+        fwd_batch["image"] = None
+
+        @jax.jit
+        def fwd(params):
+            out = task.apply({"params": params}, fwd_batch,
+                             rngs={"sample": jax.random.key(2)})
+            return out["mlm_task_loss"]
+
+        params = variables["params"]
+
+        def run_once():
+            return fwd(params)
+
+        lowered = fwd.lower(params)
+    else:
+        overrides = {
+            "vlmo_pretrain": ["train=pretrain_mum", "exp_dir=/tmp/emm_profile"],
+            "beit_mim": ["train=pretrain_vis", "exp_dir=/tmp/emm_profile_mim"],
+        }[mode]
+        trainer, state, batch = bench._trainer([
+            f"model={os.environ.get('BENCH_MODEL', 'vlmo_base')}",
+            *overrides,
+            "train.datasets=[synthetic]",
+            f"data.batch_size={batch_size}",
+            f"data.synthetic_size={4 * batch_size}",
+            "data.num_workers=4",
+            "train.discrete_vae_type=random",
+            "compute_dtype=bfloat16",
+            f"model.attn_drop_rate={os.environ.get('BENCH_ATTN_DROP', '0.0')}",
+            f"attn_impl={os.environ.get('BENCH_ATTN', 'recompute')}",
+            f"parallel.remat={os.environ.get('BENCH_REMAT', 'false')}",
+            "train.warmup_steps=2",
+            "log_level=error",
+        ])
+        train_step = trainer.make_train_step()
+        epoch = jnp.asarray(0.0)
+        holder = {"state": state}
+
+        def run_once():
+            holder["state"], metrics = train_step(holder["state"], batch, epoch)
+            return metrics["total_loss"]
+
+        lowered = train_step.lower(state, batch, epoch)
 
     # warm up / compile
     for _ in range(3):
-        state, metrics = train_step(state, batch, epoch)
-    bench._sync(metrics["total_loss"])
+        out = run_once()
+    bench._sync(out)
 
     # HLO map: op/fusion instruction name -> (kind, op_name source hint)
-    compiled = train_step.lower(state, batch, epoch).compile()
+    compiled = lowered.compile()
     hlo_text = compiled.as_text()
     with open("/tmp/emm_step_hlo.txt", "w") as f:
         f.write(hlo_text)
@@ -153,8 +215,8 @@ def main() -> None:
     os.makedirs(TRACE_DIR, exist_ok=True)
     with jax.profiler.trace(TRACE_DIR):
         for _ in range(5):
-            state, metrics = train_step(state, batch, epoch)
-        bench._sync(metrics["total_loss"])
+            out = run_once()
+        bench._sync(out)
 
     # newest trace.json.gz under TRACE_DIR
     traces = sorted(glob.glob(
