@@ -99,12 +99,14 @@ class Mlp(nn.Module):
         x = nn.gelu(x, approximate=False)
         x = FastDropout(self.drop_rate, deterministic=deterministic)(x)
         if os.environ.get("EMM_MLP_BARRIER", "") == "1":
-            # A/B knob (BENCH.md r4 bert_mlm study): at (B·L)=50k fwd-only
-            # shapes XLA builds a mega-fusion that nests fc1's matmul inside
-            # fc2's as a recomputed kOutput producer (+ residual + next-LN
-            # stats), running at ~56 TFLOP/s vs ~170 for the clean qkv dots;
-            # this barrier materializes the gelu(fc1) activation and keeps
-            # both dots on the fast emitter path.
+            # Negative-result A/B knob (BENCH.md r4 "MLP fusion barrier"):
+            # at (B·L)=50k fwd shapes XLA nests fc1's matmul inside fc2's
+            # fusion as a recomputed kOutput producer (+ residual + next-LN
+            # stats) at ~56 TFLOP/s vs ~170 for clean qkv dots — but
+            # splitting it with this barrier is a WASH on bert_mlm
+            # (130.99 vs 129.42 ms) and -1.4% on the headline step: the
+            # standalone fc1 + materialized hidden costs what the split
+            # saves. Kept as the measured knob; default off.
             x = jax.lax.optimization_barrier(x)
         x = q_dense(mode, self.out_dim, dtype=self.dtype, name="fc2")(x)
         x = FastDropout(self.drop_rate, deterministic=deterministic)(x)

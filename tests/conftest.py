@@ -34,3 +34,29 @@ def eight_devices():
     devices = jax.devices()
     assert len(devices) == 8, f"expected 8 fake CPU devices, got {devices}"
     return devices
+
+
+# ---- quick tier -----------------------------------------------------------
+# `pytest -m quick`: the fast unit files (measured round 4, BENCH.md suite
+# table) — <5 min on one idle core vs ~35 min for the full suite. Heavier
+# files (e2e trainer, dryrun, backbone/jit-compile-bound suites) stay in the
+# default run only.
+QUICK_FILES = {
+    "test_config.py",
+    "test_arrow_datasets.py",
+    "test_multiprocess_staging.py",
+    "test_optim.py",
+    "test_data.py",
+    "test_ops.py",
+    "test_native_loader.py",
+    "test_torch_parity.py",
+    "test_parallel.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        if os.path.basename(str(item.fspath)) in QUICK_FILES:
+            item.add_marker(_pytest.mark.quick)

@@ -23,11 +23,15 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
 
 
-def test_dryrun_multichip_inprocess():
+def test_dryrun_multichip_inprocess(monkeypatch):
     """Conftest already provisions 8 fake CPU devices, so this runs the
-    real sharded step in-process (the fast path of dryrun_multichip)."""
+    real sharded step in-process (the fast path of dryrun_multichip).
+    DRYRUN_MODEL=none keeps the test on the debug-shape sweep — the
+    base-shape sweep is a multi-10-minute compile validated by the driver
+    artifact (MULTICHIP_r{N}) rather than per-suite-run."""
     import __graft_entry__ as g
 
+    monkeypatch.setenv("DRYRUN_MODEL", "none")
     g.dryrun_multichip(8)
 
 
@@ -40,8 +44,10 @@ def test_dryrun_multichip_driver_style():
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "_EMM_DRYRUN_CHILD")
     }
     # keep the test hermetic + fast: stay off any real accelerator and give
-    # the child exactly ONE visible device so the self-provision path fires
+    # the child exactly ONE visible device so the self-provision path fires;
+    # debug-shape sweep only (see test_dryrun_multichip_inprocess)
     env["JAX_PLATFORMS"] = "cpu"
+    env["DRYRUN_MODEL"] = "none"
     res = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g\n"
