@@ -191,9 +191,11 @@ def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
         if f"vlmo_{size}_pretrain" in A100_BASELINE
         else "vlmo_pretrain"
     )
-    # large/huge default to the remat policy the on-chip A/B picked
-    # (BENCH.md r4 "vlmo_large"); BENCH_REMAT still overrides
-    default_remat = "true" if size in ("large", "huge") else "false"
+    # large/huge default to the remat policy the on-chip A/B picked:
+    # dots 371.8 ms vs true 399.8 ms vs false OOM at b16 (BENCH.md r4
+    # "vlmo_large" — the opposite of base scale, where dots regressed);
+    # BENCH_REMAT still overrides
+    default_remat = "dots" if size in ("large", "huge") else "false"
     result = _train_step_bench(
         f"vlmo_{size}_pretrain_step_images_per_sec_per_chip",
         baseline_key,
@@ -339,6 +341,9 @@ def bench_bert_mlm(batch_size: int, n_warmup: int, n_iters: int) -> dict:
         ["model=vlmo_base", "train=pretrain_txt", "model.max_text_len=196",
          "compute_dtype=bfloat16", "model.drop_rate=0.0",
          "model.attn_drop_rate=0.0", "model.drop_path_rate=0.0",
+         # BENCH_ATTN: xla | recompute | pallas | jax_flash (r4 A/B; the
+         # default 'auto' resolves to recompute with dropout off)
+         f"attn_impl={os.environ.get('BENCH_ATTN', 'auto')}",
          # BENCH_QUANTIZE=w8a8: forward-only config — the int8 MXU scenario
          f"model.quantize={os.environ.get('BENCH_QUANTIZE', 'none')}"]
     )

@@ -51,6 +51,8 @@ VLMo-Base pretrain step at batch 32):
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -124,8 +126,17 @@ def multi_head_attention(
             return fa.flash_attention(q, k, v, bias=bias, scale=scale, **drop_kw)
 
     def core(q, k, v, bias, rng):
+        # EMM_ATTN_BF16_SCORES=1 (r4 A/B): emit the score dot in the input
+        # dtype instead of forcing an f32 dot output — probes whether the
+        # f32-out batched matmul is what holds the bhqd,bhkd->bhqk dots at
+        # ~19 TFLOP/s in the bert_mlm profile (BENCH.md r4)
+        pet = (
+            None
+            if os.environ.get("EMM_ATTN_BF16_SCORES", "") == "1"
+            else jnp.float32
+        )
         scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=pet
         ) * scale
         if bias is not None:
             scores = scores + bias.astype(scores.dtype)
