@@ -282,6 +282,7 @@ def bench_vqa(batch_size: int, n_warmup: int, n_iters: int) -> dict:
             "compute_dtype=bfloat16",
             # same modern-recipe setting as the headline config
             "model.attn_drop_rate=0.0",
+            f"attn_impl={os.environ.get('BENCH_ATTN', 'recompute')}",
             "train.warmup_steps=2",
             "exp_dir=/tmp/emm_bench_vqa",
             "log_level=error",

