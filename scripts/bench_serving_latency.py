@@ -11,6 +11,13 @@ and prints one JSON line per (mode, bucket):
 
 Run on the real chip (default env). ~10 jit compiles via the tunnel, so
 expect several minutes of warmup before the timed sweeps.
+
+Methodology: timing goes through the SHARED core
+(exploremultimodal_tpu/utils/timing.py — readback-fenced timeit), the same
+implementation bench.py uses, so sweep numbers and BENCHMARKS.json rows are
+comparable by construction (round-3's ~9% dual-methodology discrepancy is
+structurally closed); BENCHMARKS.json remains the source of truth for
+headline claims.
 """
 
 from __future__ import annotations
