@@ -58,9 +58,10 @@ def test_all_mode_isolates_config_failures(tmp_path):
         timeout=300,
     )
     results = json.load(open(tmp_path / "BENCHMARKS.json"))
-    assert set(results) == {"vlmo_pretrain", "dvae", "dvae_w8a8", "bert_mlm",
-                            "bert_mlm_w8a8", "beit_mim", "vqa",
-                            "vqa_serving", "vqa_serving_w8a8"}
+    assert set(results) == {"vlmo_pretrain", "vlmo_large_pretrain", "dvae",
+                            "dvae_w8a8", "bert_mlm", "bert_mlm_w8a8",
+                            "beit_mim", "vqa", "vqa_serving",
+                            "vqa_serving_w8a8"}
     for v in results.values():  # every config recorded a structured failure
         assert v.get("metric") == "error" or "error" in v
     # the flagship line is still printed for the driver
