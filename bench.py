@@ -213,7 +213,7 @@ def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
             # the reference-default scenario for the in-kernel-dropout A/B
             f"model.attn_drop_rate={os.environ.get('BENCH_ATTN_DROP', '0.0')}",
             f"attn_impl={os.environ.get('BENCH_ATTN', 'recompute')}",
-            # BENCH_REMAT: false (default; true for large/huge) | true | dots
+            # BENCH_REMAT: false (default; dots for large/huge) | true | dots
             f"parallel.remat={os.environ.get('BENCH_REMAT', default_remat)}",
             # BENCH_QUANTIZE=w8a8: backbone dots on the int8 MXU (ops/quant.py)
             f"model.quantize={os.environ.get('BENCH_QUANTIZE', 'none')}",
@@ -492,9 +492,16 @@ def main() -> None:
     def bs(key: str) -> int:
         return int(batch_env) if batch_env else DEFAULT_BATCH[key]
 
+    def pretrain_bs(m: str) -> int:
+        # resolve the canonical batch from the MODEL size (BENCH_MODEL=
+        # vlmo_large/huge under mode vlmo_pretrain must pick the validated
+        # b16, not base's b32)
+        key = f"vlmo_{m.removeprefix('vlmo_')}_pretrain"
+        return bs(key if key in DEFAULT_BATCH else "vlmo_pretrain")
+
     runners = {
         "vlmo_pretrain": lambda: bench_vlmo_pretrain(
-            bs("vlmo_pretrain"), n_warmup, n_iters, model),
+            pretrain_bs(model), n_warmup, n_iters, model),
         # the reference's documented operating point (misc/Dockerfile:24-28)
         "vlmo_large_pretrain": lambda: bench_vlmo_pretrain(
             bs("vlmo_large_pretrain"), n_warmup, n_iters, "vlmo_large"),

@@ -390,8 +390,14 @@ class Trainer:
                 (loss, outputs), grads = jax.value_and_grad(
                     local_loss, has_aux=True
                 )(trainable)
+                # count-style metrics (per-shard sums, e.g.
+                # *_dropped_positions) must psum to the global count; the
+                # rest are means, matching the single-jit path where the
+                # whole batch is in one trace
                 met = {
-                    k: jax.lax.pmean(jnp.asarray(v, jnp.float32), "data")
+                    k: (jax.lax.psum if k.endswith("_dropped_positions")
+                        else jax.lax.pmean)(
+                        jnp.asarray(v, jnp.float32), "data")
                     for k, v in _metrics_from_outputs(outputs).items()
                 }
                 return (

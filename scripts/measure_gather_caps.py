@@ -55,7 +55,9 @@ def natural_sentences(n: int) -> list[str]:
     lines = [
         re.sub(r"[`*#|\[\]()>{}]", " ", ln)
         for ln in text.splitlines()
-        if len(ln.split()) >= 5 and not ln.strip().startswith(("|", "```", "    "))
+        if len(ln.split()) >= 5
+        and not ln.strip().startswith(("|", "```"))
+        and not ln.startswith("    ")  # indented code lines (pre-strip)
     ]
     sents: list[str] = []
     for ln in lines:

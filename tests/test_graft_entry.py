@@ -23,6 +23,27 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
 
 
+def test_dryrun_default_plan_is_debug_only(monkeypatch):
+    """Driver-budget contract (VERDICT r4 ask 1): with a clean environment,
+    the dryrun plan must contain ONLY debug-shape presets — the base-shape
+    sweep is a 35-50 min 1-core compile and is strictly opt-in."""
+    import __graft_entry__ as g
+
+    for var in ("DRYRUN_MODEL", "EMM_DRYRUN_PRESETS",
+                "EMM_DRYRUN_BASE_PRESETS"):
+        monkeypatch.delenv(var, raising=False)
+    plan = g._dryrun_plan()
+    assert plan, "default plan must not be empty"
+    assert all(model == "vlmo_debug" for model, _ in plan), plan
+    assert {p for _, p in plan} == {"fsdp", "zero1", "tp", "fsdp_offload"}
+
+    # and the opt-in path still schedules the base sweep after the debug one
+    monkeypatch.setenv("DRYRUN_MODEL", "vlmo_base")
+    plan = g._dryrun_plan()
+    assert plan[-1] == ("vlmo_base", "zero1")
+    assert all(m == "vlmo_debug" for m, _ in plan[:-1])
+
+
 def test_dryrun_multichip_inprocess(monkeypatch):
     """Conftest already provisions 8 fake CPU devices, so this runs the
     real sharded step in-process (the fast path of dryrun_multichip).
