@@ -217,6 +217,8 @@ def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
             f"parallel.remat={os.environ.get('BENCH_REMAT', default_remat)}",
             # BENCH_QUANTIZE=w8a8: backbone dots on the int8 MXU (ops/quant.py)
             f"model.quantize={os.environ.get('BENCH_QUANTIZE', 'none')}",
+            # BENCH_MLP=fused: bf16 whole-MLP Pallas kernel (ops/mlp_pallas.py)
+            f"model.mlp_impl={os.environ.get('BENCH_MLP', 'xla')}",
             # BENCH_DVAE_QUANT=w8a8: frozen tokenizer trunk on the int8 MXU
             # (ops/quant_conv.py; headline-step A/B for the dvae_w8a8 mode)
             "train.discrete_vae_quantize="
@@ -256,6 +258,8 @@ def bench_beit_mim(batch_size: int, n_warmup: int, n_iters: int) -> dict:
             # same modern-recipe setting as the headline config
             f"model.attn_drop_rate={attn_drop}",
             f"attn_impl={os.environ.get('BENCH_ATTN', 'recompute')}",
+            # BENCH_MLP=fused: bf16 whole-MLP Pallas kernel (ops/mlp_pallas.py)
+            f"model.mlp_impl={os.environ.get('BENCH_MLP', 'xla')}",
             "train.warmup_steps=2",
             "exp_dir=/tmp/emm_bench_mim",
             "log_level=error",
@@ -346,7 +350,9 @@ def bench_bert_mlm(batch_size: int, n_warmup: int, n_iters: int) -> dict:
          # default 'auto' resolves to recompute with dropout off)
          f"attn_impl={os.environ.get('BENCH_ATTN', 'auto')}",
          # BENCH_QUANTIZE=w8a8: forward-only config — the int8 MXU scenario
-         f"model.quantize={os.environ.get('BENCH_QUANTIZE', 'none')}"]
+         f"model.quantize={os.environ.get('BENCH_QUANTIZE', 'none')}",
+         # BENCH_MLP=fused: bf16 whole-MLP Pallas kernel (ops/mlp_pallas.py)
+         f"model.mlp_impl={os.environ.get('BENCH_MLP', 'xla')}"]
     )
     task = build_model(cfg)
     rng = np.random.default_rng(0)

@@ -76,6 +76,9 @@ class VlmoConfig:
     # ops/quant_pallas.py), straight-through bf16 backward. Beyond-the-
     # reference option (the reference is fp16 AMP); parity configs use "none".
     quantize: str = "none"
+    # "fused": bf16 whole-MLP Pallas kernel (ops/mlp_pallas.py) — the
+    # hidden never hits HBM; gated to shapes whose weights fit VMEM
+    mlp_impl: str = "xla"
 
     @property
     def dtype(self):
@@ -115,6 +118,7 @@ class VlmoConfig:
             dtype_name=cfg.get("compute_dtype", "float32"),
             attn_impl=cfg.get("attn_impl", "xla"),
             quantize=str(m.get("quantize", "none")),
+            mlp_impl=str(m.get("mlp_impl", "xla")),
             # false | true | 'dots' (selective save-dots policy)
             remat=(lambda r: r if isinstance(r, str) else bool(r))(
                 cfg.select("parallel.remat", False)),
@@ -148,6 +152,7 @@ class VlmoTask(nn.Module):
             attn_impl=c.attn_impl,
             remat=c.remat,
             quantize=c.quantize,
+            mlp_impl=c.mlp_impl,
         )
         hs = c.embed_dim
         if "mlm" in c.loss_names:

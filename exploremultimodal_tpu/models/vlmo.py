@@ -55,10 +55,48 @@ class Mlp(nn.Module):
     drop_rate: float = 0.0
     dtype: Dtype = jnp.float32
     quantize: str = "none"
+    mlp_impl: str = "xla"  # "fused": bf16 whole-MLP Pallas kernel
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         mode = site_mode(self.quantize, "mlp")
+        if self.mlp_impl == "fused" and mode == "none":
+            from exploremultimodal_tpu.ops import mlp_pallas
+
+            if mlp_pallas.fits_vmem(x.shape[-1], self.hidden_dim,
+                                    self.out_dim):
+                # bf16 whole-MLP fusion: both dots as dedicated Pallas
+                # matmuls with the (M, hidden) intermediate held in VMEM
+                # and gelu(+hidden dropout) in the kernel (mlp_pallas.py;
+                # same param tree as the fc1/fc2 path below)
+                from exploremultimodal_tpu.ops.quant import DenseParams
+
+                w1, b1 = DenseParams(self.hidden_dim, name="fc1")(
+                    x.shape[-1])
+                w2, b2 = DenseParams(self.out_dim, name="fc2")(
+                    self.hidden_dim)
+                interp = jax.default_backend() == "cpu"
+                threshold = (
+                    int(round(self.drop_rate * 65536.0))
+                    if (not deterministic) and self.drop_rate > 0.0
+                    else 0
+                )
+                if threshold > 0:
+                    bits = jax.random.bits(
+                        self.make_rng("dropout"),
+                        x.shape[:-1] + (self.hidden_dim,),
+                        jnp.uint16,
+                    )
+                    y = mlp_pallas.fused_bf16_mlp_dropout(
+                        x.astype(self.dtype), w1, b1, w2, b2, bits,
+                        threshold, interp,
+                    )
+                else:
+                    y = mlp_pallas.fused_bf16_mlp(
+                        x.astype(self.dtype), w1, b1, w2, b2, interp
+                    )
+                return FastDropout(
+                    self.drop_rate, deterministic=deterministic)(y)
         if mode == "w8a8_pallas":
             # whole-MLP fusion: both dots on the int8 MXU with the hidden
             # activation held in VMEM (never hits HBM), gelu in the kernel
@@ -193,6 +231,7 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
     quantize: str = "none"
+    mlp_impl: str = "xla"
 
     def setup(self) -> None:
         self.norm1 = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32)
@@ -217,6 +256,7 @@ class Block(nn.Module):
                     drop_rate=self.drop,
                     dtype=self.dtype,
                     quantize=self.quantize,
+                    mlp_impl=self.mlp_impl,
                 ),
             )
         if self.init_values is not None and self.init_values > 0:
@@ -367,6 +407,7 @@ class VLMO(nn.Module):
     attn_impl: str = "xla"
     remat: bool | str = False
     quantize: str = "none"  # "w8a8" routes backbone dots to the int8 MXU
+    mlp_impl: str = "xla"  # "fused": bf16 whole-MLP Pallas kernel
 
     @property
     def num_patches(self) -> int:
@@ -437,6 +478,7 @@ class VLMO(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 quantize=self.quantize,
+                mlp_impl=self.mlp_impl,
             )
             for i in range(self.depth)
         ]
