@@ -22,6 +22,7 @@ from exploremultimodal_tpu.data.datasets import (
     ImageTextArrowDataset,
     ImgClsArrowDataset,
     Nlvr2ArrowDataset,
+    RefGroundingArrowDataset,
     SyntheticDataset,
     TextCorpusDataset,
     VqaArrowDataset,
@@ -71,6 +72,14 @@ ARROW_TABLES: dict[str, dict[str, list[str]]] = {
         "train": ["imgcls_train"],
         "val": ["imgcls_val"],
         "test": ["imgcls_test"],
+    },
+    # referring-expression grounding arrows (image + caption expressions +
+    # `ref_boxes` normalized cxcywh per expression); finetune_ref surface —
+    # the reference driver (train/finetune/ref.py) is log-only
+    "refcoco": {
+        "train": ["refcoco_train"],
+        "val": ["refcoco_val"],
+        "test": ["refcoco_test"],
     },
 }
 
@@ -161,6 +170,7 @@ class MultiTaskData:
                     int(self.cfg.model.get("num_classes") or 1000)
                     if "imgcls" in losses else None
                 ),
+                ref_boxes="refcoco" in losses,
             )
         if key in NLP_KEYS:
             path = os.path.join(d.data_root, NLP_KEYS[key])
@@ -211,6 +221,14 @@ class MultiTaskData:
             return ImgClsArrowDataset(
                 d.data_root, tables, split=split,
                 transform=self._transform(split),
+                **common,
+            )
+        if key == "refcoco":
+            # plain resize for every split: normalized boxes stay valid
+            # without box-aware crop augmentation (datasets.py note)
+            return RefGroundingArrowDataset(
+                d.data_root, tables, split=split,
+                transform=EvalTransform(d.img_size),
                 **common,
             )
         return ImageTextArrowDataset(

@@ -209,6 +209,22 @@ class VqaArrowDataset(ImageTextArrowDataset):
         return sample
 
 
+class RefGroundingArrowDataset(ImageTextArrowDataset):
+    """Referring-expression grounding arrows (finetune_ref surface; the
+    reference driver train/finetune/ref.py is log-only and ships no
+    dataset): image bytes + `caption` referring expressions + a
+    `ref_boxes` column of one normalized (cx, cy, w, h) box per
+    expression. Boxes are image-relative, so the plain-resize transform
+    (EvalTransform) keeps them valid without box-aware augmentation."""
+
+    def get_sample(self, index: int, rng: random.Random) -> Sample:
+        sample = super().get_sample(index, rng)
+        row, j = self.index_mapper[index]
+        box = self.table["ref_boxes"][row].as_py()[j]
+        sample["ref_box"] = np.asarray(box, np.float32)
+        return sample
+
+
 class ImgClsArrowDataset(ImageTextArrowDataset):
     """Image-classification arrow dataset: `image` bytes + integer `label`
     column (finetune_vis surface — the reference's train/finetune/vis.py is a
@@ -339,6 +355,7 @@ class SyntheticDataset:
         mpp_labels: bool = False,
         emit_image_aug: bool = False,
         num_classes: int | None = None,
+        ref_boxes: bool = False,
         seed: int = 0,
     ):
         self.size = size
@@ -354,6 +371,7 @@ class SyntheticDataset:
         self.mpp_labels = mpp_labels
         self.emit_image_aug = emit_image_aug
         self.num_classes = num_classes
+        self.ref_boxes = ref_boxes
         self.mask_generator = MaskingGenerator(
             patch_grid, num_mask_patches,
             min_num_patches=min(min_mask_per_block, num_mask_patches),
@@ -418,6 +436,12 @@ class SyntheticDataset:
             labels = rng.integers(0, 256, (n_patches, 3)).astype(np.int32)
             labels[sample["image_bool_masked_pos"] == 0] = -100
             sample["image_labels_mpp"] = labels
+        if self.ref_boxes:
+            # normalized cxcywh with the whole box inside the image
+            w, h = rng.uniform(0.1, 0.5, 2)
+            cx = rng.uniform(w / 2, 1 - w / 2)
+            cy = rng.uniform(h / 2, 1 - h / 2)
+            sample["ref_box"] = np.asarray([cx, cy, w, h], np.float32)
         if self.nlvr:
             sample["image_0_u8"] = sample["image_u8"]
             sample["image_1_u8"] = rng.integers(

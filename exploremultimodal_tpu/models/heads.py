@@ -165,6 +165,26 @@ class RankHead(nn.Module):
         return nn.Dense(1, dtype=self.dtype, name="fc")(x)
 
 
+class RefHead(nn.Module):
+    """Referring-expression grounding head: pooled fused feats → normalized
+    (cx, cy, w, h) box via sigmoid (MDETR-style single-box regression). The
+    reference reserves this head slot but leaves it a literal `...` stub
+    (vlmo_module.py:117-118); runnable here for the finetune_ref phase.
+    Structure mirrors VQAClassifier (hs → 2hs → LN → gelu → 4)."""
+
+    dim: int
+    norm_eps: float = 1e-12
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.Dense(2 * self.dim, dtype=self.dtype, name="fc1")(x)
+        h = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32, name="ln")(h)
+        h = nn.gelu(h.astype(self.dtype), approximate=False)
+        box = nn.Dense(4, dtype=self.dtype, name="fc2")(h)
+        return jax.nn.sigmoid(box.astype(jnp.float32))
+
+
 # --------------------------------------------------------------------- ISDA
 
 

@@ -188,6 +188,10 @@ class VlmoTask(nn.Module):
             self.img_classifier = H.ImgClsHead(
                 num_classes=c.num_classes or 1000, dtype=c.dtype
             )
+        if "refcoco" in c.loss_names:
+            self.ref_head = H.RefHead(
+                dim=hs, norm_eps=c.norm_eps, dtype=c.dtype
+            )
 
     # -------------------------------------------------------------- infer
 
@@ -281,6 +285,9 @@ class VlmoTask(nn.Module):
 
     def nlvr2_logits(self, cls_feats: jax.Array) -> jax.Array:
         return self.nlvr2_classifier(cls_feats)
+
+    def ref_box(self, cls_feats: jax.Array) -> jax.Array:
+        return self.ref_head(cls_feats)
 
     def rank_logits(self, cls_feats: jax.Array) -> jax.Array:
         return self.rank_output(cls_feats)
@@ -419,6 +426,8 @@ class VlmoTask(nn.Module):
             ret.update(obj.compute_mae(self, batch, deterministic))
         if "imgcls" in names:
             ret.update(obj.compute_imgcls(self, batch, deterministic))
+        if "refcoco" in names:
+            ret.update(obj.compute_refcoco(self, batch, deterministic))
         return ret
 
     def init_inference(self, batch: dict) -> dict:
@@ -459,6 +468,8 @@ class VlmoTask(nn.Module):
             out["irtr"] = self.rank_logits(cls)
         if "imgcls" in names:
             out["imgcls"] = self.imgcls_logits(cls)
+        if "refcoco" in names:
+            out["refcoco"] = self.ref_box(cls)
         return out
 
     def init_streams(self, batch: dict) -> dict:

@@ -711,6 +711,54 @@ def compute_imgcls(task, batch: Batch, deterministic: bool = True) -> dict:
     }
 
 
+# --------------------------------------------------------------- REFCOCO
+
+
+def _cxcywh_to_xyxy(b: jax.Array) -> jax.Array:
+    cx, cy, w, h = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1
+    )
+
+
+def box_iou_giou(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row (IoU, GIoU) of xyxy boxes a, b of shape (..., 4)."""
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    inter = jnp.prod(jnp.clip(rb - lt, 0.0), axis=-1)
+    area = lambda x: jnp.prod(jnp.clip(x[..., 2:] - x[..., :2], 0.0), axis=-1)
+    union = area(a) + area(b) - inter
+    iou = inter / jnp.maximum(union, 1e-6)
+    # GIoU: subtract the empty fraction of the tightest enclosing box
+    elt = jnp.minimum(a[..., :2], b[..., :2])
+    erb = jnp.maximum(a[..., 2:], b[..., 2:])
+    enclose = jnp.prod(jnp.clip(erb - elt, 0.0), axis=-1)
+    giou = iou - (enclose - union) / jnp.maximum(enclose, 1e-6)
+    return iou, giou
+
+
+def compute_refcoco(task, batch: Batch, deterministic: bool = True) -> dict:
+    """Referring-expression grounding: the fused image+expression CLS
+    regresses one normalized (cx, cy, w, h) box (RefHead); loss is the
+    DETR-family box recipe 5·L1 + 2·(1−GIoU); metrics are mean IoU and
+    acc@IoU≥0.5 (the standard RefCOCO precision metric). The reference
+    reserves the head slot and ships a log-only driver
+    (vlmo_module.py:117-118, train/finetune/ref.py) — runnable here."""
+    infer = task.infer(batch, infer_mode="img-txt",
+                       deterministic=deterministic)
+    pred = task.ref_box(infer["cls_feats"])  # (B, 4) in [0, 1] cxcywh
+    target = batch["ref_box"].astype(jnp.float32)
+    l1 = jnp.abs(pred - target).sum(axis=-1)
+    iou, giou = box_iou_giou(_cxcywh_to_xyxy(pred), _cxcywh_to_xyxy(target))
+    loss = (5.0 * l1 + 2.0 * (1.0 - giou)).mean()
+    return {
+        "refcoco_task_loss": loss,
+        "refcoco_mean_acc": (iou >= 0.5).astype(jnp.float32).mean(),
+        "refcoco_mean_score": iou.mean(),
+        "refcoco_count": jnp.asarray(pred.shape[0], jnp.float32),
+    }
+
+
 # ------------------------------------------------------------------ IRTR
 
 

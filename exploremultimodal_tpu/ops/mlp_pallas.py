@@ -138,8 +138,11 @@ def _fwd_impl(x, w1, b1, w2, b2, bits, threshold, interpret):
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
     # h tile (bm, H) f32 is the VMEM driver next to the 9.4 MB resident
-    # weights: bm=256 -> 3.1 MB at H=3072 (swept on-chip, BENCH.md r5)
-    bm = 256 if H <= 3072 else 128
+    # weights: bm=256 -> 3.1 MB at H=3072 (swept on-chip, BENCH.md r5;
+    # EMM_MLP_BM overrides for sweeps)
+    import os
+
+    bm = int(os.environ.get("EMM_MLP_BM", 0)) or (256 if H <= 3072 else 128)
     bm = min(bm, _pad_to(max(M, 1), 32))
     Mp = _pad_to(max(M, 1), bm)
     bits2 = None

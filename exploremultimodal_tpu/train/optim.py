@@ -105,7 +105,7 @@ def _path_str(path) -> str:
 HEAD_NAMES = (
     "mlm_head", "itc_head", "itm_head", "mim_head", "mpp_head",
     "vqa_classifier", "nlvr2_classifier", "rank_output",
-    "img_classifier", "mae_head",
+    "img_classifier", "mae_head", "ref_head",
 )
 
 
@@ -187,7 +187,9 @@ def phase_frozen_predicate(
         "itm", "vqa", "nlvr2", "mpp", "irtr", "caption", "refcoco",
         "inpainting", "imgcls",
     }) or ("mlm" in losses and image_used) or mim_fused
-    pooled_used = bool(losses & {"itm", "vqa", "nlvr2", "irtr", "imgcls"})
+    pooled_used = bool(
+        losses & {"itm", "vqa", "nlvr2", "irtr", "imgcls", "refcoco"}
+    )
 
     frozen: set[str] = set()
     if not text_used:

@@ -8,8 +8,10 @@ Reference parity (main.py:45-83 dispatch):
   finetune_vqa   VQAv2 + submission JSON     (train/finetune/vqa.py)
   finetune_nlvr2 NLVR2 classification (the reference driver is log-only;
                  fully runnable here)
-  finetune_{retrieval,caption,ref,inpainting,vis}
-                 log-only surface stubs, matching the reference's stubs
+  finetune_{retrieval,caption,ref,vis}
+                 runnable here (the reference drivers are log-only stubs)
+  finetune_inpainting
+                 log-only surface stub, matching the reference's stub
 
 All runnable phases share ONE Trainer; the differences live entirely in
 config (loss_names, datasets, LR groups, freezing).
@@ -189,6 +191,18 @@ def finetune_caption(cfg, logger):
     return _run_trainer(cfg, logger)
 
 
+@register("finetune_ref")
+def finetune_ref(cfg, logger):
+    """Runnable referring-expression grounding finetune — EXCEEDS the
+    reference (its driver train/finetune/ref.py is log-only and the head
+    slot is a literal `...`, vlmo_module.py:117-118): RefHead box
+    regression over the fused image+expression CLS, 5·L1 + 2·(1−GIoU)
+    loss, acc@IoU≥0.5 metric (objectives/losses.py:compute_refcoco).
+    Trains on `refcoco` arrows (image + caption + ref_boxes column) or
+    the synthetic fixture."""
+    return _run_trainer(cfg, logger)
+
+
 def _stub(name: str):
     @register(name)
     def stub(cfg, logger, _name=name):
@@ -201,7 +215,7 @@ def _stub(name: str):
     return stub
 
 
-for _name in ("finetune_ref", "finetune_inpainting"):
+for _name in ("finetune_inpainting",):
     _stub(_name)
 
 

@@ -251,11 +251,31 @@ class Trainer:
             )
             if state.isda is not None else None,
         )
+        def put(x, s):
+            if s is None:
+                return x
+            if jax.process_count() > 1 and not s.is_fully_addressable:
+                # multi-process: device_put rejects shardings spanning
+                # non-addressable devices; build the global array from each
+                # process's identical host copy (init is seed-deterministic,
+                # so every process holds the full value)
+                if jnp.issubdtype(
+                    getattr(x, "dtype", None), jax.dtypes.prng_key
+                ):
+                    impl = jax.random.key_impl(x)
+                    data = np.asarray(jax.random.key_data(x))
+                    arr = jax.make_array_from_callback(
+                        data.shape, s, lambda idx: data[idx]
+                    )
+                    return jax.random.wrap_key_data(arr, impl=impl)
+                arr = np.asarray(x)
+                return jax.make_array_from_callback(
+                    arr.shape, s, lambda idx: arr[idx]
+                )
+            return jax.device_put(x, s)
+
         return jax.tree_util.tree_map(
-            lambda x, s: jax.device_put(x, s) if s is not None else x,
-            state,
-            self.state_shardings,
-            is_leaf=lambda x: x is None,
+            put, state, self.state_shardings, is_leaf=lambda x: x is None
         )
 
     # ------------------------------------------------------------- the step
