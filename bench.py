@@ -217,7 +217,10 @@ def bench_vlmo_pretrain(batch_size: int, n_warmup: int, n_iters: int,
             f"parallel.remat={os.environ.get('BENCH_REMAT', default_remat)}",
             # BENCH_QUANTIZE=w8a8: backbone dots on the int8 MXU (ops/quant.py)
             f"model.quantize={os.environ.get('BENCH_QUANTIZE', 'none')}",
-            # BENCH_MLP=fused: bf16 whole-MLP Pallas kernel (ops/mlp_pallas.py)
+            # BENCH_MLP=fused: bf16 whole-MLP Pallas kernel — REGRESSES the
+            # multitask step (204.8→211.1 ms, BENCH.md r5 A/B: the small-M
+            # single-modality streams pay kernel overhead and the opaque
+            # VJP breaks XLA's cross-op bwd fusions), so xla stays default
             f"model.mlp_impl={os.environ.get('BENCH_MLP', 'xla')}",
             # BENCH_DVAE_QUANT=w8a8: frozen tokenizer trunk on the int8 MXU
             # (ops/quant_conv.py; headline-step A/B for the dvae_w8a8 mode)
@@ -258,8 +261,9 @@ def bench_beit_mim(batch_size: int, n_warmup: int, n_iters: int) -> dict:
             # same modern-recipe setting as the headline config
             f"model.attn_drop_rate={attn_drop}",
             f"attn_impl={os.environ.get('BENCH_ATTN', 'recompute')}",
-            # BENCH_MLP=fused: bf16 whole-MLP Pallas kernel (ops/mlp_pallas.py)
-            f"model.mlp_impl={os.environ.get('BENCH_MLP', 'xla')}",
+            # bf16 whole-MLP Pallas kernel wins here: 57.6→55.2 ms
+            # (BENCH.md r5 A/B); BENCH_MLP=xla restores the mega-fusion
+            f"model.mlp_impl={os.environ.get('BENCH_MLP', 'fused')}",
             "train.warmup_steps=2",
             "exp_dir=/tmp/emm_bench_mim",
             "log_level=error",
@@ -351,8 +355,10 @@ def bench_bert_mlm(batch_size: int, n_warmup: int, n_iters: int) -> dict:
          f"attn_impl={os.environ.get('BENCH_ATTN', 'auto')}",
          # BENCH_QUANTIZE=w8a8: forward-only config — the int8 MXU scenario
          f"model.quantize={os.environ.get('BENCH_QUANTIZE', 'none')}",
-         # BENCH_MLP=fused: bf16 whole-MLP Pallas kernel (ops/mlp_pallas.py)
-         f"model.mlp_impl={os.environ.get('BENCH_MLP', 'xla')}"]
+         # bf16 whole-MLP Pallas kernel wins here: 129.4→123.6 ms (BENCH.md
+         # r5 A/B; the int8 fused MLP is faster still for int8-tolerant
+         # serving — bert_mlm_w8a8); BENCH_MLP=xla restores the mega-fusion
+         f"model.mlp_impl={os.environ.get('BENCH_MLP', 'fused')}"]
     )
     task = build_model(cfg)
     rng = np.random.default_rng(0)

@@ -67,6 +67,14 @@ def main() -> None:
         (192, 12, 237, 64),
         (32, 12, 512, 64),
         (8, 12, 2048, 64),
+        # bert_mlm serving config (VERDICT r4 ask 3) + its hypothetical
+        # "2-heads-packed" twin: (256, 6, 196, 128) runs the SAME MAC count
+        # with the MXU contraction full — the gap between these two rows is
+        # the ceiling any head-packing scheme could ever recover (the
+        # block-diagonal packing that actual per-head scores would need
+        # costs 2× the MACs, so it pays only if the gap exceeds 2×)
+        (256, 12, 196, 64),
+        (256, 6, 196, 128),
     ]
     rng = np.random.default_rng(0)
     for B, H, N, D in shapes:
