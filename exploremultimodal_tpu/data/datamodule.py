@@ -27,7 +27,10 @@ from exploremultimodal_tpu.data.datasets import (
     TextCorpusDataset,
     VqaArrowDataset,
 )
-from exploremultimodal_tpu.data.masking import MaskingGenerator
+from exploremultimodal_tpu.data.masking import (
+    MaskingGenerator,
+    RegionMaskingGenerator,
+)
 from exploremultimodal_tpu.data.pipeline import ShardedLoader
 from exploremultimodal_tpu.data.tokenization import MlmCollator, get_tokenizer
 from exploremultimodal_tpu.data.transforms import (
@@ -96,6 +99,11 @@ class MultiTaskData:
         self.eval_batch_size = d.get("eval_batch_size") or d.batch_size
         phase = phase or cfg.train.phase
         self.is_pretrain = phase.startswith("pretrain")
+        # MIM in a finetune phase (finetune_inpainting) still needs the
+        # pretrain-style two-resolution crop + patch masks + image4dalle
+        self.masked_image = (
+            self.is_pretrain or "mim" in set(cfg.train.loss_names)
+        )
 
         self.tokenizer = get_tokenizer(d.tokenizer, d.get("tokenizer_dir"))
         self.mlm_collator = MlmCollator(
@@ -104,12 +112,18 @@ class MultiTaskData:
             mlm_prob=d.mlm_prob,
         )
         grid = d.img_size // d.patch_size
-        self.mask_generator = MaskingGenerator(
-            grid,
-            num_masking_patches=d.num_mask_patches,
-            min_num_patches=d.get("min_mask_patches_per_block") or 4,
-            max_num_patches=d.get("max_mask_patches_per_block"),
-        )
+        if d.get("mask_style", "block") == "region":
+            # one contiguous hole (finetune_inpainting recipe)
+            self.mask_generator = RegionMaskingGenerator(
+                grid, d.num_mask_patches
+            )
+        else:
+            self.mask_generator = MaskingGenerator(
+                grid,
+                num_masking_patches=d.num_mask_patches,
+                min_num_patches=d.get("min_mask_patches_per_block") or 4,
+                max_num_patches=d.get("max_mask_patches_per_block"),
+            )
         self.vqa_vocab = None
 
         keys = list(cfg.train.datasets)
@@ -124,9 +138,9 @@ class MultiTaskData:
 
     def _transform(self, split: str):
         d = self.cfg.data
-        second = d.img_size // 2 if self.is_pretrain else None
+        second = d.img_size // 2 if self.masked_image else None
         if split == "train":
-            if self.is_pretrain:
+            if self.masked_image:
                 if d.get("native_loader"):
                     from exploremultimodal_tpu.data.transforms import (
                         NativePretrainTransform,
@@ -156,7 +170,7 @@ class MultiTaskData:
                 text_only=set(self.cfg.train.loss_names) <= {"mlm"}
                 and "txt" in self.cfg.train.phase,
                 img_size=d.img_size,
-                second_size=d.img_size // 2 if self.is_pretrain else None,
+                second_size=d.img_size // 2 if self.masked_image else None,
                 max_text_len=self.cfg.model.max_text_len,
                 vocab_size=self.cfg.model.vocab_size,
                 patch_grid=d.img_size // d.patch_size,
@@ -206,7 +220,7 @@ class MultiTaskData:
             return VqaArrowDataset(
                 d.data_root, tables, split=split,
                 transform=self._transform(split),
-                mask_generator=self.mask_generator if self.is_pretrain else None,
+                mask_generator=self.mask_generator if self.masked_image else None,
                 label_size=d.vqav2_label_size,
                 answer_vocab=self.vqa_vocab,
                 **common,
@@ -234,7 +248,7 @@ class MultiTaskData:
         return ImageTextArrowDataset(
             d.data_root, tables, split=split,
             transform=self._transform(split),
-            mask_generator=self.mask_generator if self.is_pretrain else None,
+            mask_generator=self.mask_generator if self.masked_image else None,
             image_only=d.get("image_only", False),
             draw_false_text=draw_false if split == "train" else 0,
             emit_image_aug=emit_aug and self.is_pretrain,

@@ -89,3 +89,30 @@ class RandomMaskingGenerator:
         idx = rng.permutation(self.num_patches)[: self.num_mask]
         mask[idx] = 1
         return mask
+
+
+class RegionMaskingGenerator:
+    """ONE contiguous random rectangle of ≈num_masking_patches — the
+    inpainting-style region mask (`data.mask_style=region`). Unlike the
+    BEiT blockwise generator's scattered blocks, a single hole is what an
+    inpainting user paints; never exceeds num_masking_patches (the MIM
+    gather cap stays exact)."""
+
+    def __init__(self, input_size: int | tuple[int, int],
+                 num_masking_patches: int):
+        if not isinstance(input_size, tuple):
+            input_size = (input_size, input_size)
+        self.height, self.width = input_size
+        self.num_masking_patches = num_masking_patches
+
+    def __call__(self, rng: np.random.Generator | None = None) -> np.ndarray:
+        rng = rng or np.random.default_rng()
+        mask = np.zeros((self.height, self.width), dtype=np.int32)
+        target = max(1, self.num_masking_patches)
+        # largest h ≤ height with some w ≤ width and h·w ≤ target
+        h = int(rng.integers(1, min(self.height, target) + 1))
+        w = min(self.width, max(1, target // h))
+        top = int(rng.integers(0, self.height - h + 1))
+        left = int(rng.integers(0, self.width - w + 1))
+        mask[top: top + h, left: left + w] = 1
+        return mask

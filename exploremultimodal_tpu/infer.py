@@ -143,6 +143,20 @@ def _caption_fn(task: VlmoTask, img_u8, ids, mask, n_iter: int,
     return jax.lax.fori_loop(0, n_iter, body, ids)
 
 
+def _inpaint_logits(task: VlmoTask, img_u8, bool_masked_pos, ids, mask):
+    """MIM logits over every patch position with the masked patches
+    replaced by the mask token — the serving twin of compute_mim's
+    mim_head_pos='mum' path (text-conditioned; finetune_inpainting)."""
+    batch = {
+        "image": normalize_image(img_u8, task.config.dtype),
+        "image_bool_masked_pos": bool_masked_pos,
+        "text_ids": ids,
+        "text_mask": mask,
+    }
+    infer = task.infer(batch, infer_mode="img-txt", mask_img=True)
+    return task.mim_logits(infer["img_feats"][:, 1:]).astype(jnp.float32)
+
+
 class Predictor:
     """Jitted serving endpoints over one set of trained weights."""
 
@@ -368,6 +382,93 @@ class Predictor:
                                       tok.cls_token_id, tok.mask_token_id)]
             texts.append(tok.decode(toks, skip_special_tokens=True).strip())
         return texts
+
+    @property
+    def dvae(self):
+        """Frozen DALL-E tokenizer+decoder at img_size//2 (the MIM grid) —
+        lazily built like Trainer's (random fallback when no encoder.pkl)."""
+        if getattr(self, "_dvae", None) is None:
+            from exploremultimodal_tpu.models.dvae import create_d_vae
+
+            t = self.cfg.train
+            kind = t.get("discrete_vae_type", "dall-e")
+            path = t.get("discrete_vae_weight_path", "")
+            if kind == "dall-e" and not os.path.exists(
+                os.path.join(path, "encoder.pkl")
+            ):
+                kind = "random"
+            self._dvae = create_d_vae(
+                path, kind, self.task.config.img_size // 2,
+                dtype=self.task.config.dtype,
+            )
+        return self._dvae
+
+    def inpaint(self, images, patch_mask, texts=None
+                ) -> tuple[np.ndarray, np.ndarray]:
+        """Text-conditioned image inpainting over the MIM head (train the
+        weights with `train=finetune_inpainting`; the reference's driver is
+        log-only — this EXCEEDS it). BEiT-style single-shot: the masked
+        patches' dVAE codes are predicted by the fused image+text stream,
+        merged with the true codes, decoded by the frozen DALL-E decoder,
+        and pasted into the original at the masked 8×8-pixel cells — ONE
+        jitted program (tokenize + forward + decode + paste, no host round
+        trips).
+
+        `patch_mask`: (N, grid²) or (N, grid, grid) 0/1 — patches to
+        repaint (grid = img_size/patch_size). `texts`: optional captions
+        describing the full image. Returns (repainted float images in
+        [0, 1] at img_size//2 resolution, merged code grid)."""
+        img = self._images_array(images)
+        n = len(img)
+        c = self.task.config
+        grid = c.img_size // c.patch_size
+        pm = np.asarray(patch_mask, np.int32).reshape(n, grid * grid)
+        ids, mask = self.tokenize(list(texts) if texts is not None
+                                  else [""] * n)
+
+        b = _next_bucket(n, self.max_batch)
+        if self.mesh is not None:
+            d = self.mesh.shape["data"]
+            b = ((b + d - 1) // d) * d
+        padded = [_pad_to(a, b) for a in (img, pm, ids, mask)]
+        if self._batch_sharding is not None:
+            padded = [jax.device_put(a, self._batch_sharding) for a in padded]
+
+        jit_key = ("inpaint", b)
+        if jit_key not in self._jitted:
+            from exploremultimodal_tpu.models.dvae import (
+                map_pixels,
+                unmap_pixels,
+            )
+
+            dvae = self.dvae
+            S2 = c.img_size // 2
+            cell = S2 // grid
+
+            @jax.jit
+            def fn(variables, img_u8, pm, ids, mask):
+                img4 = jax.image.resize(
+                    img_u8.astype(jnp.float32) / 255.0,
+                    (img_u8.shape[0], S2, S2, 3), "bilinear",
+                )
+                codes = dvae.get_codebook_indices(map_pixels(img4))
+                logits = self.task.apply(
+                    variables, img_u8, pm, ids, mask,
+                    method=_inpaint_logits,
+                )
+                pred = jnp.argmax(logits, axis=-1).astype(codes.dtype)
+                merged = jnp.where(pm > 0, pred, codes)
+                stats = dvae.decode(merged)
+                recon = unmap_pixels(jax.nn.sigmoid(stats[..., :3]))
+                pixmask = jnp.repeat(
+                    jnp.repeat(pm.reshape(-1, grid, grid), cell, 1), cell, 2
+                )[..., None]
+                out = jnp.where(pixmask > 0, recon, img4)
+                return jnp.clip(out, 0.0, 1.0), merged
+
+            self._jitted[jit_key] = fn
+        out, merged = self._jitted[jit_key](self.variables, *padded)
+        return np.asarray(out)[:n], np.asarray(merged)[:n]
 
     def vqa(self, images, questions: Sequence[str]) -> list[str]:
         """Answer strings for paired (image_i, question_i) — finetune_vqa

@@ -8,10 +8,8 @@ Reference parity (main.py:45-83 dispatch):
   finetune_vqa   VQAv2 + submission JSON     (train/finetune/vqa.py)
   finetune_nlvr2 NLVR2 classification (the reference driver is log-only;
                  fully runnable here)
-  finetune_{retrieval,caption,ref,vis}
+  finetune_{retrieval,caption,ref,vis,inpainting}
                  runnable here (the reference drivers are log-only stubs)
-  finetune_inpainting
-                 log-only surface stub, matching the reference's stub
 
 All runnable phases share ONE Trainer; the differences live entirely in
 config (loss_names, datasets, LR groups, freezing).
@@ -203,20 +201,15 @@ def finetune_ref(cfg, logger):
     return _run_trainer(cfg, logger)
 
 
-def _stub(name: str):
-    @register(name)
-    def stub(cfg, logger, _name=name):
-        logger.info(
-            f"phase {_name!r} is a surface stub (the reference driver "
-            f"train/finetune/{_name.split('_')[1]}.py is log-only too)"
-        )
-        return {}
-
-    return stub
-
-
-for _name in ("finetune_inpainting",):
-    _stub(_name)
+@register("finetune_inpainting")
+def finetune_inpainting(cfg, logger):
+    """Runnable text-conditioned inpainting finetune — EXCEEDS the
+    reference (its driver train/finetune/inpainting.py is log-only):
+    BEiT-style MIM over the fused image+text stream (loss_names=[mim],
+    mim_head_pos=mum) with region masks (data.mask_style=region). Serve
+    with Predictor.inpaint(): predict dVAE codes at the masked patches,
+    decode with the frozen DALL-E decoder, paste into the original."""
+    return _run_trainer(cfg, logger)
 
 
 def dispatch(cfg, logger):
