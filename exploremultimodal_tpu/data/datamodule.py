@@ -185,6 +185,10 @@ class MultiTaskData:
                     if "imgcls" in losses else None
                 ),
                 ref_boxes="refcoco" in losses,
+                # honor data.mask_style (region masks for inpainting)
+                mask_generator=(
+                    self.mask_generator if self.masked_image else None
+                ),
             )
         if key in NLP_KEYS:
             path = os.path.join(d.data_root, NLP_KEYS[key])

@@ -356,6 +356,7 @@ class SyntheticDataset:
         emit_image_aug: bool = False,
         num_classes: int | None = None,
         ref_boxes: bool = False,
+        mask_generator=None,  # override (e.g. region masks for inpainting)
         seed: int = 0,
     ):
         self.size = size
@@ -372,7 +373,7 @@ class SyntheticDataset:
         self.emit_image_aug = emit_image_aug
         self.num_classes = num_classes
         self.ref_boxes = ref_boxes
-        self.mask_generator = MaskingGenerator(
+        self.mask_generator = mask_generator or MaskingGenerator(
             patch_grid, num_mask_patches,
             min_num_patches=min(min_mask_per_block, num_mask_patches),
         )

@@ -27,6 +27,25 @@ def test_region_mask_generator_one_rectangle():
         assert m[rows[0]: rows[-1] + 1, cols[0]: cols[-1] + 1].all()
 
 
+def test_synthetic_dataset_honors_region_mask_style():
+    """data.mask_style=region must reach the synthetic dataset too (it
+    builds its own generator unless the datamodule passes one through)."""
+    from exploremultimodal_tpu.data.datamodule import MultiTaskData
+
+    cfg = load_config([
+        "model=vlmo_debug", "train=finetune_inpainting",
+        "train.datasets=[synthetic]", "data.mask_style=region",
+        "data.synthetic_size=4", "model.img_size=64",
+        "data.num_mask_patches=6",
+    ])
+    data = MultiTaskData(cfg)
+    m = data.datasets["train"][0]["image_bool_masked_pos"].reshape(4, 4)
+    rows = np.nonzero(m.any(axis=1))[0]
+    cols = np.nonzero(m.any(axis=0))[0]
+    assert m[rows[0]: rows[-1] + 1, cols[0]: cols[-1] + 1].all()
+    assert 0 < m.sum() <= 6
+
+
 def test_finetune_inpainting_phase_trains(tmp_path):
     """dispatch('finetune_inpainting') on synthetic data: the mim objective
     runs over the fused stream (mum head) with masks + image4dalle emitted
