@@ -424,7 +424,12 @@ def bench_vqa_serving(batch_size: int, n_warmup: int, n_iters: int) -> dict:
     cfg = load_config(
         ["model=vlmo_base", "train=finetune_vqa", "compute_dtype=bfloat16",
          "model.drop_rate=0.0", "model.attn_drop_rate=0.0",
-         "model.drop_path_rate=0.0", f"model.quantize={quant}"]
+         "model.drop_path_rate=0.0", f"model.quantize={quant}",
+         # bf16 fused whole-MLP kernel wins the bf16 serving path: 30.9 →
+         # 26.5 ms (BENCH.md r5 A/B; accuracy-neutral vs the int8 path's
+         # 1.5% answer-flip rate). No-op under quantize=w8a8_pallas_mlp
+         # (the int8 whole-MLP branch takes precedence at the mlp site).
+         f"model.mlp_impl={os.environ.get('BENCH_MLP', 'fused')}"]
     )
     task = build_model(cfg)
     c = task.config
