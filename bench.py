@@ -291,6 +291,10 @@ def bench_vqa(batch_size: int, n_warmup: int, n_iters: int) -> dict:
             # same modern-recipe setting as the headline config
             "model.attn_drop_rate=0.0",
             f"attn_impl={os.environ.get('BENCH_ATTN', 'recompute')}",
+            # bf16 whole-MLP Pallas kernel wins here too: 54.6-55.1 →
+            # 53.9 ms (BENCH.md r5 A/B — every single-fused-stream config
+            # gains; only the multi-stream headline keeps xla)
+            f"model.mlp_impl={os.environ.get('BENCH_MLP', 'fused')}",
             "train.warmup_steps=2",
             "exp_dir=/tmp/emm_bench_vqa",
             "log_level=error",
